@@ -1,0 +1,166 @@
+"""Typed configuration for the TPU-native cross-scale PatchMatch stereo engine.
+
+The reference implementation (CrossScalePatchMatch, see /root/reference) splits its
+configuration between 10 runtime gflags (CSPM/main.cc:23-34) and a scatter of
+compile-time constants (CSPM/main.cc:93-94,100; CSPM/plane_cost/grd_pc.h:13-17;
+CSPM/cc/cen_cc.h:5-6; CSPM/cs_patchmatch.h:14,145-146; CSPM/cc/grd_cc.h:6-9).
+Here every knob is promoted into one frozen dataclass so configs are
+hashable (usable as jit static args) and serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class CostMethod(str, enum.Enum):
+    """Matching-cost (cost-volume) construction method.
+
+    Mirrors the reference factory GetCCType (CSPM/main.cc:39-55): "GRD" is the
+    truncated-absolute-difference color+gradient cost (cc/grd_cc.cpp), "CEN" is
+    the 9x9/80-bit census-Hamming cost (cc/cen_cc.cc).
+    """
+
+    GRD = "GRD"
+    CEN = "CEN"
+
+
+class Aggregator(str, enum.Enum):
+    """Optional cost-volume aggregation filter applied to each disparity slice.
+
+    Covers the reference's ca_filter capability surface (CSPM/ca_method.h,
+    CSPM/ca_filter/{BoxCA,GFCA,BFCA}.cpp).  NONE matches the compiled reference
+    binary (no aggregation; the vcxproj does not build ca_filter).
+    """
+
+    NONE = "NONE"
+    BOX = "BOX"
+    GF = "GF"
+    BF = "BF"
+
+
+@dataclasses.dataclass(frozen=True)
+class CSPMConfig:
+    """All engine parameters.  Defaults reproduce the reference binary.
+
+    Runtime flags of the reference (CSPM/main.cc:23-34):
+      max_dis, dis_scale, cc_name->cost_method, use_cs, use_pp, reg_lambda.
+    Promoted compile-time constants:
+      max_iter=3, wnd_size=35 (CSPM/main.cc:93-94), scale_num=5 (main.cc:100),
+      cost_alpha/tau_clr/tau_grd (cc/grd_cc.h:6-9), wgt_gamma
+      (plane_cost/pre_cs_pc.h:17), census_wnd/census_bit (cc/cen_cc.h:5-6),
+      wmf_gamma (cs_patchmatch.h:14), max_norm/z_stop_thres
+      (cs_patchmatch.h:145-146), border_thres (cc/grd_cc.h:6).
+    """
+
+    # --- problem shape -----------------------------------------------------
+    max_dis: int = 60           # max allowed disparity (inclusive range [0, max_dis])
+    dis_scale: int = 4          # uint8 output rescaling factor
+
+    # --- method selection --------------------------------------------------
+    cost_method: CostMethod = CostMethod.GRD
+    use_cs: bool = False        # cross-scale aggregation (5-level pyramid + lambda weights)
+    use_pp: bool = False        # post-processing (LR check, fill, weighted median)
+    reg_lambda: float = 0.0     # inter-scale regularization strength
+    aggregator: Aggregator = Aggregator.NONE  # per-slice cost-volume filter
+
+    # --- optimizer ---------------------------------------------------------
+    max_iter: int = 3           # outer PatchMatch iterations
+    wnd_size: int = 35          # support-window size (odd)
+    scale_num: int = 5          # pyramid levels when use_cs
+    max_norm: float = 1.0       # initial normal perturbation magnitude
+    z_stop_thres: float = 0.1   # refinement stop threshold on disparity perturbation
+    # TPU-native propagation schedule: the reference's sequential raster scan
+    # (cs_patchmatch.cc:163-216) is restructured into checkerboard (red-black)
+    # half-sweeps where every pixel of one parity adopts the argmin plane among
+    # its neighbor candidates.  `prop_sweeps` half-sweep pairs run per outer
+    # iteration; `far_offset` adds Gipuma-style long-range candidates so
+    # information still travels quickly despite the shorter per-sweep horizon.
+    prop_sweeps: int = 2
+    far_offset: int = 5         # 0 disables far candidates
+
+    # --- cost model constants ---------------------------------------------
+    cost_alpha: float = 0.1     # color/gradient mixing weight
+    tau_clr: float = 10.0       # color truncation
+    tau_grd: float = 2.0        # gradient truncation
+    border_thres: float = 3.0   # pseudo-intensity for out-of-border GRD cost
+    wgt_gamma: float = 10.0     # adaptive-support-weight color bandwidth
+    census_wnd: int = 9         # census window (odd)
+    wmf_gamma: float = 10.0     # weighted-median color bandwidth
+
+    # --- post-processing ---------------------------------------------------
+    lr_check_thres: float = 0.5  # max |d_l - d_r| for a pixel to be valid
+
+    # --- numerics / runtime ------------------------------------------------
+    seed: int = 0
+    eps: float = 1e-8           # kDoubleEps analogue (commfunc.h:25)
+    use_pallas: bool = True     # use the fused Pallas window-cost kernel on TPU
+
+    def __post_init__(self):
+        if self.wnd_size % 2 != 1:
+            raise ValueError(f"wnd_size must be odd, got {self.wnd_size}")
+        if self.census_wnd % 2 != 1:
+            raise ValueError(f"census_wnd must be odd, got {self.census_wnd}")
+        if self.max_dis < 1:
+            raise ValueError(f"max_dis must be >= 1, got {self.max_dis}")
+
+    @property
+    def half_wnd(self) -> int:
+        return self.wnd_size // 2
+
+    @property
+    def census_bit(self) -> int:
+        return self.census_wnd * self.census_wnd - 1
+
+    @property
+    def num_slices(self) -> int:
+        """Cost-volume slices: d in [0, max_dis] inclusive (pre_ss_pc.cc:40-42)."""
+        return self.max_dis + 1
+
+    def scale_max_dis(self, scale: int) -> int:
+        """Per-pyramid-level max disparity: halved per level (pre_cs_pc.cc:48)."""
+        d = self.max_dis
+        for _ in range(scale):
+            d //= 2
+        return d
+
+    def scale_shape(self, hw: Tuple[int, int], scale: int) -> Tuple[int, int]:
+        """Per-level image shape: ceil-halved per level (pre_cs_pc.cc:46-47)."""
+        h, w = hw
+        for _ in range(scale):
+            h, w = (h + 1) // 2, (w + 1) // 2
+        return h, w
+
+    def refinement_schedule(self) -> Tuple[float, ...]:
+        """Halving disparity-perturbation magnitudes z: max_dis/2, /4, ...
+
+        Mirrors the while(z >= z_stop) loop of cs_patchmatch.cc:292-345 --
+        the count is static given max_dis so the loop unrolls under jit.
+        """
+        out = []
+        z = self.max_dis / 2.0
+        while z >= self.z_stop_thres:
+            out.append(z)
+            z /= 2.0
+        return tuple(out)
+
+
+# Canonical workload configs from the reference's input.txt and README
+# (CSPM/input.txt:1-20, README.md:12-14).
+README_DEMO = CSPMConfig(max_dis=60, dis_scale=4, cost_method=CostMethod.GRD,
+                         use_cs=False, use_pp=False, reg_lambda=0.0)
+
+MIDDLEBURY = {
+    "tsukuba": CSPMConfig(max_dis=16, dis_scale=16, cost_method=CostMethod.CEN,
+                          use_pp=True),
+    "venus": CSPMConfig(max_dis=20, dis_scale=8, cost_method=CostMethod.CEN,
+                        use_pp=True),
+    "cones": CSPMConfig(max_dis=60, dis_scale=4, cost_method=CostMethod.CEN,
+                        use_pp=True),
+    "teddy": CSPMConfig(max_dis=60, dis_scale=4, cost_method=CostMethod.CEN,
+                        use_pp=True),
+    "reindeer": CSPMConfig(max_dis=80, dis_scale=3, cost_method=CostMethod.CEN,
+                           use_pp=True),
+}

@@ -1,0 +1,163 @@
+"""Synthetic rectified stereo pairs with ground-truth disparity.
+
+The reference is validated against Middlebury image pairs (CSPM/input.txt),
+which cannot be redistributed in this repo; tests and benchmarks instead use
+procedurally generated scenes: textured fronto-parallel / slanted layers
+composited with correct occlusion handling, so bad-pixel rates can be scored
+against exact ground truth.
+
+Rendering model (standard rectified-stereo convention, matching the
+reference's correspondence x_left = x_right + d, grd_cc.cpp:94-96):
+layers are defined in *left-view* coordinates with per-pixel disparity d;
+the right view samples the same texture shifted by d with nearer (larger-d)
+layers winning, and right-view disparity/occlusion maps are derived by
+forward-warping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class StereoPair:
+    left: np.ndarray        # u8[H, W, 3]
+    right: np.ndarray       # u8[H, W, 3]
+    disp_left: np.ndarray   # f32[H, W] ground-truth left disparity
+    disp_right: np.ndarray  # f32[H, W] ground-truth right disparity
+    valid_left: np.ndarray  # bool[H, W] non-occluded in left view
+    valid_right: np.ndarray
+
+
+def _smooth_noise(rng: np.random.Generator, h: int, w: int,
+                  octaves: int = 4) -> np.ndarray:
+    """Multi-octave value noise in [0, 1] for natural-ish texture."""
+    out = np.zeros((h, w), np.float32)
+    amp = 1.0
+    for o in range(octaves):
+        step = 1 << (octaves - o)
+        gh, gw = h // step + 2, w // step + 2
+        grid = rng.random((gh, gw), np.float32)
+        ys = np.arange(h) / step
+        xs = np.arange(w) / step
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        g = (grid[y0][:, x0] * (1 - fy) * (1 - fx)
+             + grid[y0 + 1][:, x0] * fy * (1 - fx)
+             + grid[y0][:, x0 + 1] * (1 - fy) * fx
+             + grid[y0 + 1][:, x0 + 1] * fy * fx)
+        out += amp * g
+        amp *= 0.5
+    return (out - out.min()) / max(float(np.ptp(out)), 1e-6)
+
+
+def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
+              seed: int = 0, slanted: bool = True) -> StereoPair:
+    """Layered synthetic scene: background plane + 2 foreground objects.
+
+    Disparities stay within [1, max_dis - 1] so every non-occluded pixel is
+    recoverable by the engine.
+    """
+    rng = np.random.default_rng(seed)
+    tex_w = w + max_dis + 4
+
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+
+    # --- layer disparity fields in left coordinates -----------------------
+    lo, hi = 1.0, max_dis - 1.0
+    span = hi - lo
+    if slanted:
+        bg = lo + 0.15 * span + 0.25 * span * (xs / w) + 0.10 * span * (ys / h)
+        bg = np.broadcast_to(bg, (h, w)).copy()
+    else:
+        bg = np.full((h, w), lo + 0.25 * span, np.float32)
+    mid = np.full((h, w), lo + 0.6 * span, np.float32)
+    fg = np.full((h, w), lo + 0.9 * span, np.float32)
+
+    mid_mask = np.zeros((h, w), bool)
+    mid_mask[h // 5: h // 2 + h // 8, w // 6: w // 2] = True
+    fg_mask = np.zeros((h, w), bool)
+    fg_mask[h // 2: h - h // 6, w // 2: w - w // 8] = True
+
+    disp_left = bg.copy()
+    disp_left[mid_mask] = mid[mid_mask]
+    disp_left[fg_mask] = fg[fg_mask]
+    if not slanted:
+        disp_left = np.rint(disp_left)
+
+    # --- per-layer textures (layers carry their own texture) --------------
+    def layer_tex(k):
+        base = np.stack([_smooth_noise(rng, h, tex_w) for _ in range(3)], -1)
+        tint = rng.uniform(0.4, 1.0, (1, 1, 3))
+        return np.clip(base * tint * 255.0, 0, 255)
+
+    tex_bg, tex_mid, tex_fg = layer_tex(0), layer_tex(1), layer_tex(2)
+
+    label = np.zeros((h, w), np.int8)
+    label[mid_mask] = 1
+    label[fg_mask] = 2
+
+    texs = [tex_bg, tex_mid, tex_fg]
+    xs_i = np.arange(w)
+
+    # Left view: sample each layer's texture at x + max_dis (left image
+    # column x sees texture coordinate x + d_offset for a zero-parallax
+    # reference at the texture plane; using a fixed offset keeps sampling
+    # in-bounds for both views).
+    left = np.zeros((h, w, 3), np.float32)
+    for y in range(h):
+        for lab in (0, 1, 2):
+            m = label[y] == lab
+            left[y, m] = texs[lab][y, xs_i[m] + 2]
+
+    # Right view + right disparity by forward warp (z-buffer on disparity).
+    right = np.zeros((h, w, 3), np.float32)
+    disp_right = np.full((h, w), -1.0, np.float32)
+    zbuf = np.full((h, w), -1e9, np.float32)
+    src_of = np.full((h, w), -1, np.int64)
+    for y in range(h):
+        for x in range(w):
+            d = disp_left[y, x]
+            xr = int(round(x - d))
+            if 0 <= xr < w and d > zbuf[y, xr]:
+                zbuf[y, xr] = d
+                src_of[y, xr] = x
+    for y in range(h):
+        for xr in range(w):
+            x = src_of[y, xr]
+            if x >= 0:
+                lab = label[y, x]
+                d = disp_left[y, x]
+                # sub-pixel texture sample for slanted surfaces
+                tx = x + 2 - (d - (x - xr))
+                tx = np.clip(tx, 0, tex_w - 2)
+                t0 = int(np.floor(tx))
+                f = tx - t0
+                right[y, xr] = (1 - f) * texs[lab][y, t0] + f * texs[lab][y, t0 + 1]
+                disp_right[y, xr] = d
+            else:
+                # occluded in right view: fill with background texture
+                right[y, xr] = texs[0][y, xr]
+
+    # Left-view occlusion: a left pixel is valid iff it wins the z-buffer.
+    valid_left = np.zeros((h, w), bool)
+    for y in range(h):
+        for xr in range(w):
+            if src_of[y, xr] >= 0:
+                valid_left[y, src_of[y, xr]] = True
+    valid_right = disp_right >= 0
+    disp_right = np.where(valid_right, disp_right, 0.0)
+
+    noise = rng.normal(0, 1.0, (h, w, 3))
+    left = np.clip(left + noise, 0, 255).astype(np.uint8)
+    right = np.clip(right + rng.normal(0, 1.0, (h, w, 3)), 0,
+                    255).astype(np.uint8)
+    return StereoPair(left=left, right=right,
+                      disp_left=disp_left.astype(np.float32),
+                      disp_right=disp_right.astype(np.float32),
+                      valid_left=valid_left, valid_right=valid_right)

@@ -1,0 +1,208 @@
+"""TPU-native PatchMatch optimizer over slanted-plane fields.
+
+Reference loop (cs_patchmatch.cc:51-109): random init, then 3 iterations of
+{sequential raster spatial propagation, sequential scatter view propagation,
+randomized plane refinement}, all funneling into per-pixel plane-cost
+evaluations.
+
+TPU restructuring (SURVEY.md section 7):
+  * Spatial propagation (cs_patchmatch.cc:163-216) is a strictly sequential
+    raster scan -- each pixel consumes the already-updated previous neighbor.
+    Here it becomes dense synchronous sweeps: every pixel evaluates the planes
+    of a static stencil of neighbors (4-adjacent plus Gipuma-style far
+    candidates at +-far_offset) from the previous sweep and adopts the argmin.
+    Per dense evaluation this propagates information one stencil hop for every
+    pixel at full utilization, which matches red-black checkerboarding's
+    hops-per-evaluation on hardware that cannot skip the inactive half.
+  * View propagation (cs_patchmatch.cc:229-277) is a sequential scatter into
+    the other view; scatters race under parallel execution, so each pixel
+    instead *gathers* the other view's plane at its warped correspondence and
+    re-anchors it locally -- the same fixed points, race-free and dense.
+  * Plane refinement (cs_patchmatch.cc:292-345) is already pixel-parallel:
+    the halving perturbation schedule runs as a lax.scan.
+  * cv::RNG seeded with time(NULL) per OpenMP row (cs_patchmatch.cc:130,309,
+    a determinism bug -- all rows share one seed) is replaced by threefry key
+    splits: deterministic, per-pixel independent streams.
+
+Everything is a pure function of (volumes, state, key); the whole optimizer
+jits into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CSPMConfig
+from ..ops import plane
+from ..ops.cost_volume import VolumeData
+from ..ops.plane_cost import cross_scale_plane_cost, window_plane_cost
+from ..ops.scale_weights import scale_weights
+
+# cost_fn: f32[2, K, H, W, 3] candidate planes -> f32[2, K, H, W] costs
+CostFn = Callable[[jax.Array], jax.Array]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PMState:
+    """Optimizer state: per-view plane field and its current best cost."""
+
+    abc: jax.Array    # f32[2, H, W, 3]
+    cost: jax.Array   # f32[2, H, W]
+
+
+def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
+    """Bind the per-view volume data into a batched plane-cost evaluator."""
+    if cfg.use_cs:
+        wgts = tuple(float(x) for x in
+                     scale_weights(cfg.scale_num, cfg.reg_lambda))
+
+        def eval_view(imgs, vols, max_costs, abc):
+            return cross_scale_plane_cost(
+                imgs, vols, max_costs, wgts, abc, half_wnd=cfg.half_wnd,
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
+
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            return jax.vmap(eval_view, in_axes=(0, 0, 0, 0))(
+                vd.imgs, vd.vols, vd.max_costs, abc2)
+    else:
+        img, vol, mc = vd.imgs[0], vd.vols[0], vd.max_costs[0]
+
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            fn = functools.partial(window_plane_cost, half_wnd=cfg.half_wnd,
+                                   max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
+            return jax.vmap(fn)(img, vol, mc, abc2)
+
+    return cost_fn
+
+
+def _adopt(state: PMState, cand_abc: jax.Array,
+           cand_cost: jax.Array) -> PMState:
+    """Adopt, per pixel, the best candidate iff it strictly improves.
+
+    cand_abc: f32[2, K, H, W, 3]; cand_cost: f32[2, K, H, W].
+    Strict `<` matches the reference's update predicate
+    (cs_patchmatch.cc:201,209,270,335).
+    """
+    best_k = jnp.argmin(cand_cost, axis=1)                       # [2, H, W]
+    best_cost = jnp.min(cand_cost, axis=1)
+    best_abc = jnp.take_along_axis(
+        cand_abc, best_k[:, None, ..., None], axis=1)[:, 0]
+    improve = best_cost < state.cost
+    return PMState(
+        abc=jnp.where(improve[..., None], best_abc, state.abc),
+        cost=jnp.where(improve, best_cost, state.cost))
+
+
+def _stencil(cfg: CSPMConfig) -> List[Tuple[int, int]]:
+    offsets = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if cfg.far_offset > 0:
+        f = cfg.far_offset
+        offsets += [(0, f), (0, -f), (f, 0), (-f, 0)]
+    return offsets
+
+
+def spatial_sweep(state: PMState, cost_fn: CostFn,
+                  cfg: CSPMConfig) -> PMState:
+    """One dense propagation sweep: every pixel tests its stencil's planes."""
+    cands = [jnp.roll(state.abc, (dy, dx), axis=(1, 2))
+             for dy, dx in _stencil(cfg)]
+    cand_abc = jnp.stack(cands, axis=1)          # [2, K, H, W, 3]
+    cand_cost = cost_fn(cand_abc)
+    return _adopt(state, cand_abc, cand_cost)
+
+
+def view_propagation(state: PMState, cost_fn: CostFn,
+                     cfg: CSPMConfig) -> PMState:
+    """Cross-view plane transfer as a gather.
+
+    For each pixel x of view v: warp by the pixel's own current disparity to
+    the corresponding column of the other view, read that pixel's plane,
+    clamp its disparity to [0, max_dis-1] (cs_patchmatch.cc:250-255), and
+    re-anchor the plane through (x, y, d) with the same orientation
+    (cs_patchmatch.cc:265-267).  Out-of-range warps wrap by +-W
+    (HandleBorder, commfunc.h:129-145).
+    """
+    _, h, w, _ = state.abc.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def per_view(abc_v, abc_other, sign):
+        d_own = jnp.clip(plane.disparity_at(abc_v, xs, ys),
+                         0.0, cfg.max_dis - 1.0)
+        xw = (xs.astype(jnp.int32)
+              + sign * jnp.rint(d_own).astype(jnp.int32)) % w
+        src = jnp.take_along_axis(abc_other, xw[..., None], axis=1)
+        d_src = jnp.clip(
+            plane.disparity_at(src, xw.astype(jnp.float32), ys),
+            0.0, cfg.max_dis - 1.0)
+        return plane.reanchor(src, xs, ys, d_src)
+
+    # Left pixels correspond to right columns x - d; right to left x + d.
+    cand_l = per_view(state.abc[0], state.abc[1], -1)
+    cand_r = per_view(state.abc[1], state.abc[0], +1)
+    cand_abc = jnp.stack([cand_l, cand_r])[:, None]   # [2, 1, H, W, 3]
+    cand_cost = cost_fn(cand_abc)
+    return _adopt(state, cand_abc, cand_cost)
+
+
+def plane_refinement(state: PMState, key: jax.Array, cost_fn: CostFn,
+                     cfg: CSPMConfig) -> PMState:
+    """Randomized refinement with the halving perturbation schedule."""
+    zs = jnp.asarray(cfg.refinement_schedule(), jnp.float32)
+    ns = cfg.max_norm * zs / zs[0]    # n halves in lockstep with z
+
+    def body(carry, zn):
+        st, k = carry
+        z, n = zn
+        k, k0, k1 = jax.random.split(k, 3)
+        prop_l = plane.perturb_planes(k0, st.abc[0], z, n, cfg.eps)
+        prop_r = plane.perturb_planes(k1, st.abc[1], z, n, cfg.eps)
+        cand_abc = jnp.stack([prop_l, prop_r])[:, None]
+        cand_cost = cost_fn(cand_abc)
+        return (_adopt(st, cand_abc, cand_cost), k), None
+
+    (state, _), _ = jax.lax.scan(body, (state, key), (zs, ns))
+    return state
+
+
+def init_state(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
+               cfg: CSPMConfig) -> PMState:
+    """Random plane init + initial cost (cs_patchmatch.cc:115-148)."""
+    h, w = hw
+    abc = plane.random_planes(key, (2, h, w), float(cfg.max_dis), cfg.eps)
+    cost = cost_fn(abc[:, None])[:, 0]
+    return PMState(abc=abc, cost=cost)
+
+
+def patchmatch(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
+               cfg: CSPMConfig) -> PMState:
+    """Full optimizer: init + max_iter outer iterations."""
+    k_init, k_loop = jax.random.split(key)
+    state = init_state(k_init, hw, cost_fn, cfg)
+
+    def iteration(state, key):
+        for _ in range(cfg.prop_sweeps):
+            state = spatial_sweep(state, cost_fn, cfg)
+        state = view_propagation(state, cost_fn, cfg)
+        state = plane_refinement(state, key, cost_fn, cfg)
+        return state, None
+
+    keys = jax.random.split(k_loop, cfg.max_iter)
+    state, _ = jax.lax.scan(iteration, state, keys)
+    return state
+
+
+def plane_to_disp(abc: jax.Array, dis_scale: int) -> jax.Array:
+    """u8 disparity maps: saturate(round(d * dis_scale))
+    (cs_patchmatch.cc:590-602; round-half-to-even like Round2Int)."""
+    _, h, w, _ = abc.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    d = plane.disparity_at(abc, xs, ys)
+    return jnp.clip(jnp.rint(d * dis_scale), 0, 255).astype(jnp.uint8)

@@ -1,0 +1,59 @@
+"""End-to-end stereo pipeline: images -> uint8 disparity maps.
+
+The TPU-native equivalent of the reference driver main() (CSPM/main.cc:57-139):
+build cost volumes (PreSSPC / PreCSPC construction), run the PatchMatch
+optimizer, convert planes to scaled uint8 disparity, optionally post-process.
+The whole pipeline is one jittable function of the image pair with the config
+static, so XLA sees (and fuses) everything.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CSPMConfig
+from ..ops.cost_volume import build_volume_data
+from . import patchmatch as pm
+from .postprocess import postprocess
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_pair(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
+             cfg: CSPMConfig) -> Dict[str, jax.Array]:
+    """Compute left/right disparity for one rectified pair.
+
+    Args:
+      l_bgr_u8 / r_bgr_u8: u8[H, W, 3] views.
+      seed: i32 scalar RNG seed (traced; re-running with a new seed does not
+        recompile).
+      cfg: static engine configuration.
+
+    Returns:
+      dict with "dis" u8[2, H, W] scaled disparity maps, "abc" f32[2, H, W, 3]
+      final plane fields, "cost" f32[2, H, W] final costs, and "valid"
+      bool[2, H, W] LR-check mask (all-true when use_pp=False).
+    """
+    h, w, _ = l_bgr_u8.shape
+    vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
+    cost_fn = pm.make_cost_fn(cfg, vd)
+    key = jax.random.PRNGKey(seed)
+    state = pm.patchmatch(key, (h, w), cost_fn, cfg)
+    dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
+    if cfg.use_pp:
+        dis, valid = postprocess(dis, state.abc, vd.imgs[0], cfg)
+    else:
+        valid = jnp.ones((2, h, w), bool)
+    return {"dis": dis, "abc": state.abc, "cost": state.cost, "valid": valid}
+
+
+def run_pair_np(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, seed: int = 0):
+    """Convenience wrapper taking/returning NumPy arrays."""
+    import numpy as np
+
+    out = run_pair(jnp.asarray(l_bgr_u8), jnp.asarray(r_bgr_u8),
+                   jnp.int32(seed), cfg)
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,170 @@
+"""Spatially-tiled + data-parallel PatchMatch over a (data, ty) device mesh.
+
+Sharding layout (SURVEY.md sections 2.3/5):
+  * "data" shards independent stereo pairs (batch DP, rides DCN across
+    hosts);
+  * "ty" shards the image rows of each pair into horizontal bands (spatial
+    tiling -- the stereo analogue of sequence parallelism), with halo
+    exchange over ICI neighbors via lax.ppermute:
+      - image + cost-volume halos: half_wnd (17 for wnd=35) rows, exchanged
+        once after the volume build;
+      - plane-state halos: max(far_offset, 1) rows, exchanged before every
+        propagation sweep;
+      - disparity/validity/image halos for the weighted-median, once.
+  * Both views of a pair live on the same shard: view propagation and the
+    LR check are x-axis gathers, so they never cross "ty" shards.
+
+Coordinate convention: each shard stores planes in *local-row* coordinates
+(d = a*x + b*y_local + c).  When a plane crosses a shard boundary during
+halo exchange its c is re-anchored (c +- b*Hs) so the same (a, b, c)
+convention holds everywhere; x coordinates are global (rows are full-width).
+
+Row-local pieces (GRD cost volume build: color diffs + x-Sobel; view
+propagation; refinement; LR check; scanline fill) run unchanged on each
+band.  The census volume build needs a wrap-around row halo and the
+cross-scale path needs replicated coarse levels; both are currently
+restricted to the single-device engine (models.pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import CostMethod, CSPMConfig
+from ..models import patchmatch as pm
+from ..models import postprocess as pp
+from ..ops import plane
+from ..ops.cost_volume import build_volume
+from ..ops.color import bgr_to_rgb
+from ..ops.plane_cost import window_plane_cost
+
+
+def extend_rows(x: jax.Array, halo: int, axis_name: str = "ty") -> jax.Array:
+    """Prepend/append `halo` rows from the up/down mesh neighbors.
+
+    Devices at the mesh edge receive zeros (lax.ppermute semantics), which
+    callers mask via a row-validity vector.
+    """
+    n = jax.lax.axis_size(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]      # my bottom rows -> next
+    up = [(i + 1, i) for i in range(n - 1)]        # my top rows -> previous
+    from_above = jax.lax.ppermute(x[-halo:], axis_name, down)
+    from_below = jax.lax.ppermute(x[:halo], axis_name, up)
+    return jnp.concatenate([from_above, x, from_below], axis=0)
+
+
+def _extend_planes(abc: jax.Array, halo: int, hs: int) -> jax.Array:
+    """Halo-exchange plane state, re-anchoring c into local coordinates.
+
+    A plane received from the shard above was expressed with row index
+    y + Hs, so c_local = c_remote + b*Hs; from below, c_local = c - b*Hs.
+    """
+    ext = extend_rows(abc, halo)
+    top, mid, bot = ext[:halo], ext[halo:halo + hs], ext[halo + hs:]
+    top = top.at[..., 2].add(top[..., 1] * hs)
+    bot = bot.at[..., 2].add(-bot[..., 1] * hs)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
+                  cfg: CSPMConfig, n_ty: int) -> jax.Array:
+    """Full pipeline for one pair's local row band [Hs, W, 3] per view."""
+    hs, w, _ = l_loc.shape
+    hw = cfg.half_wnd
+    far = max(cfg.far_offset, 1)
+    if hs < max(hw, far):
+        raise ValueError(f"row band {hs} smaller than halo {max(hw, far)}")
+
+    ty = jax.lax.axis_index("ty")
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), ty)
+
+    # --- local volumes + global saturation value --------------------------
+    l_rgb, r_rgb = bgr_to_rgb(l_loc), bgr_to_rgb(r_loc)
+    vol_l = build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=False)
+    vol_r = build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=True)
+    vols = jnp.stack([vol_l, vol_r])
+    imgs = jnp.stack([l_loc, r_loc])
+    max_cost = jax.lax.pmax(jnp.max(vols, axis=(1, 2, 3)), "ty")  # [2]
+
+    # --- static halos: image + volume, and row validity -------------------
+    ext_imgs = jax.vmap(lambda x: extend_rows(x, hw))(imgs)
+    ext_vols = jax.vmap(lambda x: extend_rows(x, hw))(vols)
+    g_row = ty * hs + jnp.arange(-hw, hs + hw)
+    row_valid = (g_row >= 0) & (g_row < n_ty * hs)
+
+    def cost_fn(abc2: jax.Array) -> jax.Array:
+        fn = functools.partial(window_plane_cost, half_wnd=hw,
+                               max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                               center_row0=hw, row_valid=row_valid)
+        return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
+
+    # --- optimizer --------------------------------------------------------
+    k_init, k_loop = jax.random.split(key)
+    state = pm.init_state(k_init, (hs, w), cost_fn, cfg)
+
+    def sweep(state: pm.PMState) -> pm.PMState:
+        ext_abc = jax.vmap(lambda a: _extend_planes(a, far, hs))(state.abc)
+        cands = [jnp.roll(ext_abc, (dy, dx), axis=(1, 2))[:, far:far + hs]
+                 for dy, dx in pm._stencil(cfg)]
+        cand_abc = jnp.stack(cands, axis=1)
+        return pm._adopt(state, cand_abc, cost_fn(cand_abc))
+
+    def iteration(state, it_key):
+        for _ in range(cfg.prop_sweeps):
+            state = sweep(state)
+        state = pm.view_propagation(state, cost_fn, cfg)
+        state = pm.plane_refinement(state, it_key, cost_fn, cfg)
+        return state, None
+
+    keys = jax.random.split(k_loop, cfg.max_iter)
+    state, _ = jax.lax.scan(iteration, state, keys)
+
+    dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
+    if cfg.use_pp:
+        valid = pp.lr_check(dis, cfg)
+        dis = pp.fill_invalid(dis, state.abc, valid, cfg)
+        ext_dis = jax.vmap(lambda x: extend_rows(x, hw))(dis)
+        ext_valid = (jax.vmap(lambda x: extend_rows(x, hw))(valid)
+                     & row_valid[None, :, None])
+        dis = pp.weighted_median(ext_dis, ext_imgs, ext_valid, cfg,
+                                 center_row0=hw, out_h=hs)
+    return dis
+
+
+def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
+                      cfg: CSPMConfig, mesh: Mesh) -> jax.Array:
+    """Batched sharded pipeline.
+
+    Args:
+      l_bgr / r_bgr: u8[B, H, W, 3]; B divisible by mesh "data", H by "ty".
+      seeds: i32[B].
+
+    Returns:
+      u8[B, 2, H, W] scaled disparity maps.
+    """
+    if cfg.use_cs or cfg.cost_method != CostMethod.GRD:
+        raise NotImplementedError(
+            "sharded path currently supports single-scale GRD")
+    n_ty = mesh.shape["ty"]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data", "ty"), P("data", "ty"), P("data")),
+        out_specs=P("data", None, "ty", None))
+    def fn(l_blk, r_blk, seed_blk):
+        return jax.vmap(
+            lambda l1, r1, s: _pair_sharded(l1, r1, s, cfg, n_ty))(
+                l_blk, r_blk, seed_blk)
+
+    return fn(l_bgr, r_bgr, seeds)
+
+
+def jit_run_batch_sharded(cfg: CSPMConfig, mesh: Mesh):
+    """jit-wrapped runner with cfg/mesh bound statically."""
+    return jax.jit(functools.partial(run_batch_sharded, cfg=cfg, mesh=mesh))

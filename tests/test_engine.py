@@ -1,0 +1,149 @@
+"""End-to-end engine tests on synthetic stereo with exact ground truth."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
+from crossscalepatchmatch_tpu.data import make_pair
+from crossscalepatchmatch_tpu.metrics import bad_pixel_rate, epe
+from crossscalepatchmatch_tpu.models import patchmatch as pm
+from crossscalepatchmatch_tpu.models import postprocess as pp
+from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
+
+
+SMALL = dict(h=48, w=64, max_dis=12, seed=3)
+
+
+def small_cfg(**kw):
+    base = dict(max_dis=12, dis_scale=16, wnd_size=11,
+                cost_method=CostMethod.GRD, use_cs=False, use_pp=False)
+    base.update(kw)
+    return CSPMConfig(**base)
+
+
+class TestEndToEnd:
+    def test_plain_patchmatch_recovers_disparity(self):
+        pair = make_pair(**SMALL)
+        cfg = small_cfg()
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        # random planes start ~100% bad; a working optimizer gets most
+        # non-occluded pixels right
+        assert bad < 0.15, f"bad-pixel rate too high: {bad:.3f}"
+
+    def test_right_view_also_converges(self):
+        pair = make_pair(**SMALL)
+        cfg = small_cfg()
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp_r = out["dis"][1].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp_r, pair.disp_right, pair.valid_right, 1.0)
+        assert bad < 0.15, f"right bad-pixel rate too high: {bad:.3f}"
+
+    def test_census_cost_method(self):
+        pair = make_pair(**SMALL)
+        cfg = small_cfg(cost_method=CostMethod.CEN)
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.2, f"census bad-pixel rate too high: {bad:.3f}"
+
+    def test_cross_scale(self):
+        pair = make_pair(**SMALL)
+        cfg = small_cfg(use_cs=True, scale_num=3, reg_lambda=0.3)
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.2, f"cross-scale bad-pixel rate too high: {bad:.3f}"
+
+    def test_postprocessing_improves_or_holds(self):
+        pair = make_pair(**SMALL)
+        out_raw = run_pair_np(pair.left, pair.right, small_cfg(), seed=0)
+        out_pp = run_pair_np(pair.left, pair.right, small_cfg(use_pp=True),
+                             seed=0)
+        s = small_cfg().dis_scale
+        # evaluate over ALL pixels: pp should fix occluded regions
+        bad_raw = bad_pixel_rate(out_raw["dis"][0] / s, pair.disp_left, None)
+        bad_pp = bad_pixel_rate(out_pp["dis"][0] / s, pair.disp_left, None)
+        assert bad_pp <= bad_raw + 0.02
+
+    def test_deterministic_given_seed(self):
+        pair = make_pair(**SMALL)
+        cfg = small_cfg()
+        a = run_pair_np(pair.left, pair.right, cfg, seed=7)
+        b = run_pair_np(pair.left, pair.right, cfg, seed=7)
+        np.testing.assert_array_equal(a["dis"], b["dis"])
+
+
+class TestPostprocessUnits:
+    def test_lr_check_consistent_input_is_valid(self):
+        cfg = small_cfg(dis_scale=4)
+        h, w = 6, 16
+        d = 3
+        dis = np.zeros((2, h, w), np.uint8)
+        dis[:] = d * cfg.dis_scale
+        valid = np.asarray(pp.lr_check(jnp.asarray(dis), cfg))
+        # interior pixels with identical constant disparity are consistent
+        assert valid[0, :, d:].all()
+        # left-border left-view pixels warp out of range -> invalid
+        assert not valid[0, :, :d].any()
+
+    def test_lr_check_zero_disparity_invalid(self):
+        cfg = small_cfg()
+        dis = np.zeros((2, 4, 8), np.uint8)
+        valid = np.asarray(pp.lr_check(jnp.asarray(dis), cfg))
+        assert not valid.any()
+
+    def test_fill_invalid_takes_min_side(self):
+        cfg = small_cfg(dis_scale=1, max_dis=12)
+        h, w = 1, 8
+        dis = np.zeros((2, h, w), np.uint8)
+        abc = np.zeros((2, h, w, 3), np.float32)
+        # left half plane d=10, right half d=4, middle invalid
+        abc[:, :, :4, 2] = 10.0
+        abc[:, :, 4:, 2] = 4.0
+        dis[:, :, :4] = 10
+        dis[:, :, 4:] = 4
+        valid = np.zeros((2, h, w), bool)
+        valid[:, :, 1] = True   # valid left anchor (d=10)
+        valid[:, :, 6] = True   # valid right anchor (d=4)
+        out = np.asarray(pp.fill_invalid(jnp.asarray(dis), jnp.asarray(abc),
+                                         jnp.asarray(valid), cfg))
+        # invalid pixels between anchors take the smaller (background) disp
+        np.testing.assert_array_equal(out[0, 0, 2:6], [4, 4, 4, 4])
+        # left of the left anchor: only left anchor reachable? x=0 has
+        # l_first at x=1? no -- nearest valid to the left of x=0 doesn't
+        # exist; right-nearest is x=1 (d=10): one-sided fill
+        assert out[0, 0, 0] == 10
+
+    def test_weighted_median_majority_wins(self):
+        cfg = small_cfg(wnd_size=5, dis_scale=1)
+        h, w = 7, 7
+        img = np.full((2, h, w, 3), 100, np.uint8)
+        dis = np.full((2, h, w), 8, np.uint8)
+        dis[:, 3, 3] = 200            # outlier at center
+        valid = np.ones((2, h, w), bool)
+        valid[:, 3, 3] = False
+        out = np.asarray(pp.weighted_median(jnp.asarray(dis), jnp.asarray(img),
+                                            jnp.asarray(valid), cfg))
+        assert out[0, 3, 3] == 8      # replaced by unanimous neighbors
+        assert out[0, 0, 0] == 8      # valid pixels untouched
+
+
+class TestAdopt:
+    def test_adopt_strict_improvement_only(self):
+        st = pm.PMState(abc=jnp.zeros((2, 2, 2, 3)),
+                        cost=jnp.full((2, 2, 2), 5.0))
+        cand_abc = jnp.ones((2, 1, 2, 2, 3))
+        cand_cost = jnp.full((2, 1, 2, 2), 5.0)  # equal -> no adoption
+        out = pm._adopt(st, cand_abc, cand_cost)
+        np.testing.assert_array_equal(np.asarray(out.abc),
+                                      np.zeros((2, 2, 2, 3)))
+        cand_cost = cand_cost.at[0, 0, 0, 0].set(4.0)
+        out = pm._adopt(st, cand_abc, cand_cost)
+        assert np.asarray(out.abc)[0, 0, 0, 0] == 1.0
+        assert np.asarray(out.cost)[0, 0, 0] == 4.0
+        assert np.asarray(out.cost)[1, 0, 0] == 5.0

@@ -1,0 +1,104 @@
+"""Sharded-vs-reference consistency on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
+from crossscalepatchmatch_tpu.data import make_pair
+from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+from crossscalepatchmatch_tpu.parallel.mesh import make_mesh
+from crossscalepatchmatch_tpu.parallel.tiled import (
+    extend_rows, jit_run_batch_sharded)
+
+
+requires_8_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices")
+
+
+def small_cfg(**kw):
+    base = dict(max_dis=12, dis_scale=16, wnd_size=11,
+                cost_method=CostMethod.GRD, use_cs=False, use_pp=False,
+                max_iter=2)
+    base.update(kw)
+    return CSPMConfig(**base)
+
+
+@requires_8_devices
+class TestHaloExchange:
+    def test_extend_rows_roundtrip(self):
+        mesh = make_mesh(1, 8)
+        x = jnp.arange(8 * 4 * 3, dtype=jnp.float32).reshape(8 * 4, 3)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        @jax.jit
+        def f(x):
+            return shard_map(lambda b: extend_rows(b, 2),
+                             mesh=mesh, in_specs=P("ty", None),
+                             out_specs=P("ty", None))(x)
+
+        out = np.asarray(f(x))
+        xs = np.asarray(x).reshape(8, 4, 3)
+        out = out.reshape(8, 8, 3)
+        # interior shard: halo rows match neighbors' edge rows
+        np.testing.assert_array_equal(out[3, :2], xs[2, -2:])
+        np.testing.assert_array_equal(out[3, 2:6], xs[3])
+        np.testing.assert_array_equal(out[3, 6:], xs[4, :2])
+        # edge shards: zero halos
+        np.testing.assert_array_equal(out[0, :2], np.zeros((2, 3)))
+        np.testing.assert_array_equal(out[7, 6:], np.zeros((2, 3)))
+
+
+@requires_8_devices
+class TestShardedPipeline:
+    def test_matches_quality_of_single_device(self):
+        pair = make_pair(h=64, w=64, max_dis=12, seed=11)
+        cfg = small_cfg()
+        mesh = make_mesh(1, 8)   # 8 row bands of 8 rows
+        run = jit_run_batch_sharded(cfg, mesh)
+        l = jnp.asarray(pair.left)[None]
+        r = jnp.asarray(pair.right)[None]
+        dis = np.asarray(run(l, r, jnp.zeros((1,), jnp.int32)))
+        assert dis.shape == (1, 2, 64, 64)
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.2, f"sharded bad-pixel rate too high: {bad:.3f}"
+
+    def test_data_parallel_batch(self):
+        pairs = [make_pair(h=32, w=48, max_dis=8, seed=s) for s in (1, 2)]
+        cfg = small_cfg(max_dis=8)
+        mesh = make_mesh(2, 4)
+        run = jit_run_batch_sharded(cfg, mesh)
+        l = jnp.stack([jnp.asarray(p.left) for p in pairs])
+        r = jnp.stack([jnp.asarray(p.right) for p in pairs])
+        dis = np.asarray(run(l, r, jnp.array([0, 0], jnp.int32)))
+        assert dis.shape == (2, 2, 32, 48)
+        for i, p in enumerate(pairs):
+            disp = dis[i, 0].astype(np.float32) / cfg.dis_scale
+            bad = bad_pixel_rate(disp, p.disp_left, p.valid_left, 1.0)
+            assert bad < 0.25, f"pair {i} bad rate {bad:.3f}"
+
+    def test_sharded_with_postprocessing(self):
+        pair = make_pair(h=32, w=48, max_dis=8, seed=4)
+        cfg = small_cfg(max_dis=8, use_pp=True)
+        mesh = make_mesh(1, 4)
+        run = jit_run_batch_sharded(cfg, mesh)
+        dis = np.asarray(run(jnp.asarray(pair.left)[None],
+                             jnp.asarray(pair.right)[None],
+                             jnp.zeros((1,), jnp.int32)))
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad_all = bad_pixel_rate(disp, pair.disp_left, None, 1.0)
+        assert bad_all < 0.3
+
+    def test_rejects_unsupported_configs(self):
+        mesh = make_mesh(1, 8)
+        cfg = small_cfg(cost_method=CostMethod.CEN)
+        with pytest.raises(NotImplementedError):
+            jit_run_batch_sharded(cfg, mesh)(
+                jnp.zeros((1, 64, 64, 3), jnp.uint8),
+                jnp.zeros((1, 64, 64, 3), jnp.uint8),
+                jnp.zeros((1,), jnp.int32))
