@@ -80,6 +80,11 @@ class CSPMConfig:
     # information still travels quickly despite the shorter per-sweep horizon.
     prop_sweeps: int = 2
     far_offset: int = 5         # 0 disables far candidates
+    # Batched refinement: propose all halving-schedule perturbations at once
+    # and adopt the argmin (one fused kernel launch) instead of the
+    # reference's sequential refine-the-refined loop; see
+    # models.patchmatch.plane_refinement.
+    batch_refine: bool = True
 
     # --- cost model constants ---------------------------------------------
     cost_alpha: float = 0.1     # color/gradient mixing weight

@@ -56,8 +56,31 @@ class PMState:
     cost: jax.Array   # f32[2, H, W]
 
 
+def _pallas_enabled(cfg: CSPMConfig) -> bool:
+    """Use the fused TPU kernel for the single-scale window cost.
+
+    The jnp fallback stays authoritative for CPU tests and the cross-scale
+    path; the kernel is element-exact against it (tests/test_pallas.py).
+    """
+    return (cfg.use_pallas and not cfg.use_cs
+            and jax.default_backend() == "tpu")
+
+
 def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
     """Bind the per-view volume data into a batched plane-cost evaluator."""
+    if _pallas_enabled(cfg):
+        from ..ops.pallas.window_cost import (prepare_volumes,
+                                              window_plane_cost_prepared)
+        prep = prepare_volumes(vd.imgs[0], vd.vols[0],
+                               half_wnd=cfg.half_wnd)
+        max_costs = vd.max_costs[0]
+
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            return window_plane_cost_prepared(
+                prep, max_costs, abc2, half_wnd=cfg.half_wnd,
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
+
+        return cost_fn
     if cfg.use_cs:
         wgts = tuple(float(x) for x in
                      scale_weights(cfg.scale_num, cfg.reg_lambda))
@@ -153,9 +176,32 @@ def view_propagation(state: PMState, cost_fn: CostFn,
 
 def plane_refinement(state: PMState, key: jax.Array, cost_fn: CostFn,
                      cfg: CSPMConfig) -> PMState:
-    """Randomized refinement with the halving perturbation schedule."""
+    """Randomized refinement with the halving perturbation schedule.
+
+    Two modes:
+      * sequential (`batch_refine=False`): the reference's loop
+        (cs_patchmatch.cc:292-345) -- each halving round perturbs the
+        *currently adopted* plane and adopts immediately.
+      * batched (`batch_refine=True`, TPU-native default): all R rounds'
+        perturbations are proposed from the plane held at entry and
+        evaluated as one K=R candidate batch, adopting the argmin.  Same
+        multi-resolution search, one fused kernel launch instead of R
+        sequential ones (~3x faster on the refinement phase); the minor
+        trajectory difference is covered by the end-to-end accuracy tests.
+    """
     zs = jnp.asarray(cfg.refinement_schedule(), jnp.float32)
     ns = cfg.max_norm * zs / zs[0]    # n halves in lockstep with z
+
+    if cfg.batch_refine:
+        r = len(cfg.refinement_schedule())
+        keys = jax.random.split(key, 2 * r).reshape(2, r, -1)
+        cands = [jnp.stack([
+            plane.perturb_planes(keys[v, i], state.abc[v], zs[i], ns[i],
+                                 cfg.eps) for i in range(r)])
+            for v in range(2)]
+        cand_abc = jnp.stack(cands)                    # [2, R, H, W, 3]
+        cand_cost = cost_fn(cand_abc)
+        return _adopt(state, cand_abc, cand_cost)
 
     def body(carry, zn):
         st, k = carry

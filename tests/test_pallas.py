@@ -1,0 +1,43 @@
+"""Kernel-logic check of the Pallas window-cost kernel in interpreter mode.
+
+Runs on CPU via pltpu.force_tpu_interpret_mode so the fused kernel's
+masking/trunc/saturation semantics are exercised by the regular (CPU) test
+suite; element-exactness on real TPU hardware is covered by
+tests_tpu/test_pallas_tpu.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+    window_plane_cost_pallas)
+from crossscalepatchmatch_tpu.ops.plane_cost import window_plane_cost
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_kernel_matches_jnp_interpret(k):
+    h, w, d, wnd = 24, 40, 8, 5
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    vols = jax.random.uniform(k2, (2, h, w, d + 1), jnp.float32)
+    mc = jnp.max(vols, axis=(1, 2, 3))
+    ab = jax.random.uniform(k3, (2, k, h, w, 2), jnp.float32, -1, 1)
+    dc = jax.random.uniform(k3, (2, k, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = window_plane_cost_pallas(
+            imgs, vols, mc, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
+            th=8, tw=128)
+    want = jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
+            imgs, vols, mc, abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
