@@ -1,0 +1,39 @@
+"""End-to-end CLI test: PNG in -> disparity PNG out (main.cc surface)."""
+
+import numpy as np
+
+from crossscalepatchmatch_tpu import io as cspm_io
+from crossscalepatchmatch_tpu.cli import main
+from crossscalepatchmatch_tpu.data import make_pair
+from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+
+
+def test_cli_roundtrip(tmp_path):
+    pair = make_pair(h=64, w=96, max_dis=12, seed=3)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    lo, ro = tmp_path / "ld.png", tmp_path / "rd.png"
+    cspm_io.write_bgr(str(lp), pair.left)
+    cspm_io.write_bgr(str(rp), pair.right)
+
+    rc = main(["--l_img_file", str(lp), "--r_img_file", str(rp),
+               "--l_dis_file", str(lo), "--r_dis_file", str(ro),
+               "--max_dis", "12", "--dis_scale", "16", "--cc_name", "GRD",
+               "--use_cs", "false", "--use_pp", "true",
+               "--wnd_size", "15", "--reg_lambda", "0.0"])
+    assert rc == 0
+    from PIL import Image
+    dis = np.asarray(Image.open(lo))
+    assert dis.shape == (64, 96)
+    bad = bad_pixel_rate(dis.astype(np.float32) / 16.0, pair.disp_left,
+                         pair.valid_left)
+    assert bad < 0.15, bad
+
+
+def test_cli_shape_mismatch(tmp_path):
+    pair = make_pair(h=32, w=48, max_dis=8, seed=1)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    cspm_io.write_bgr(str(lp), pair.left)
+    cspm_io.write_bgr(str(rp), pair.right[:16])
+    rc = main(["--l_img_file", str(lp), "--r_img_file", str(rp),
+               "--l_dis_file", "x.png", "--r_dis_file", "y.png"])
+    assert rc == 1
