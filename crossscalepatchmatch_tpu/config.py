@@ -98,6 +98,13 @@ class CSPMConfig:
     # --- post-processing ---------------------------------------------------
     lr_check_thres: float = 0.5  # max |d_l - d_r| for a pixel to be valid
 
+    # --- plane-cost backend --------------------------------------------------
+    # True: precomputed cost volumes (PreSSPC/PreCSPC, the reference main()'s
+    # only path, main.cc:97-114).  False: on-the-fly TAD color+gradient
+    # against the sub-pixel warped other view (GrdPC/CSPC capability
+    # surface); requires cost_method=GRD.
+    precompute_volume: bool = True
+
     # --- numerics / runtime ------------------------------------------------
     seed: int = 0
     eps: float = 1e-8           # kDoubleEps analogue (commfunc.h:25)
@@ -110,6 +117,10 @@ class CSPMConfig:
             raise ValueError(f"census_wnd must be odd, got {self.census_wnd}")
         if self.max_dis < 1:
             raise ValueError(f"max_dis must be >= 1, got {self.max_dis}")
+        if not self.precompute_volume and self.cost_method != CostMethod.GRD:
+            raise ValueError(
+                "the on-the-fly plane cost exists only for GRD "
+                "(grd_pc.cc/cspc.cc have no census variant)")
 
     @property
     def half_wnd(self) -> int:

@@ -56,6 +56,46 @@ class PMState:
     cost: jax.Array   # f32[2, H, W]
 
 
+def make_fly_cost_fn(cfg: CSPMConfig, l_bgr_u8: jax.Array,
+                     r_bgr_u8: jax.Array) -> CostFn:
+    """On-the-fly GrdPC/CSPC plane-cost evaluator (no volumes).
+
+    Covers the reference's query-time IPlaneCost family
+    (plane_cost/grd_pc.cc, plane_cost/cspc.cc).
+    """
+    from ..ops.onthefly_cost import cs_fly_cost, grd_fly_cost, gray_gradient
+    from ..ops.pyramid import build_pyramid
+
+    levels = cfg.scale_num if cfg.use_cs else 1
+    l_pyr = build_pyramid(l_bgr_u8, levels)
+    r_pyr = build_pyramid(r_bgr_u8, levels)
+    l_grd = [gray_gradient(im) for im in l_pyr]
+    r_grd = [gray_gradient(im) for im in r_pyr]
+    kw = dict(half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
+              gamma=cfg.wgt_gamma, alpha=cfg.cost_alpha,
+              tau_clr=cfg.tau_clr, tau_grd=cfg.tau_grd)
+
+    if cfg.use_cs:
+        wgts = tuple(float(x) for x in
+                     scale_weights(cfg.scale_num, cfg.reg_lambda))
+
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            cl = cs_fly_cost(l_pyr, r_pyr, l_grd, r_grd, wgts, abc2[0],
+                             sign=-1, **kw)
+            cr = cs_fly_cost(r_pyr, l_pyr, r_grd, l_grd, wgts, abc2[1],
+                             sign=+1, **kw)
+            return jnp.stack([cl, cr])
+    else:
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            cl = grd_fly_cost(l_pyr[0], r_pyr[0], l_grd[0], r_grd[0],
+                              abc2[0], sign=-1, **kw)
+            cr = grd_fly_cost(r_pyr[0], l_pyr[0], r_grd[0], l_grd[0],
+                              abc2[1], sign=+1, **kw)
+            return jnp.stack([cl, cr])
+
+    return cost_fn
+
+
 def _pallas_enabled(cfg: CSPMConfig) -> bool:
     """Use the fused TPU kernel for the single-scale window cost.
 

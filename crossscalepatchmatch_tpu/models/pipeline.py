@@ -38,13 +38,18 @@ def run_pair(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
       bool[2, H, W] LR-check mask (all-true when use_pp=False).
     """
     h, w, _ = l_bgr_u8.shape
-    vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
-    cost_fn = pm.make_cost_fn(cfg, vd)
+    if cfg.precompute_volume:
+        vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
+        cost_fn = pm.make_cost_fn(cfg, vd)
+        pp_imgs = vd.imgs[0]
+    else:
+        cost_fn = pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8)
+        pp_imgs = jnp.stack([l_bgr_u8, r_bgr_u8])
     key = jax.random.PRNGKey(seed)
     state = pm.patchmatch(key, (h, w), cost_fn, cfg)
     dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
     if cfg.use_pp:
-        dis, valid = postprocess(dis, state.abc, vd.imgs[0], cfg)
+        dis, valid = postprocess(dis, state.abc, pp_imgs, cfg)
     else:
         valid = jnp.ones((2, h, w), bool)
     return {"dis": dis, "abc": state.abc, "cost": state.cost, "valid": valid}
