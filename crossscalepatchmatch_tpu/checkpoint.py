@@ -1,0 +1,113 @@
+"""Iteration-level checkpoint / resume of the PatchMatch optimizer state.
+
+The reference never serializes state (runs are seconds-to-minutes,
+SURVEY.md section 5); for long batched/high-resolution TPU jobs the
+(plane, min_cost) state is checkpointed after every outer iteration and a
+killed job resumes bit-exactly: per-iteration RNG keys are derived from the
+run seed once (models.patchmatch.iteration_keys), so iterations i..N replay
+identically whether or not the process restarted.
+
+Format: a single .npz per checkpoint (atomic rename), orbax-free so the
+file is portable and inspectable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CSPMConfig
+from .models import patchmatch as pm
+from .models.pipeline import run_pair  # noqa: F401  (public surface)
+from .models.postprocess import postprocess
+from .ops.cost_volume import build_volume_data
+
+
+def save_state(path: str, state: pm.PMState, iteration: int,
+               cfg: CSPMConfig, seed: int) -> None:
+    """Atomically write (state, iteration, config fingerprint)."""
+    tmp_fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".npz")
+    os.close(tmp_fd)
+    cfg_json = json.dumps(dataclasses.asdict(cfg), default=str,
+                          sort_keys=True)
+    np.savez(tmp, abc=np.asarray(state.abc), cost=np.asarray(state.cost),
+             iteration=np.int64(iteration), seed=np.int64(seed),
+             cfg=np.bytes_(cfg_json.encode()))
+    os.replace(tmp, path)
+
+
+def load_state(path: str, cfg: CSPMConfig,
+               seed: int) -> Optional[Tuple[pm.PMState, int]]:
+    """Load a checkpoint; None if absent or from a different run config."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        cfg_json = json.dumps(dataclasses.asdict(cfg), default=str,
+                              sort_keys=True)
+        if z["cfg"].item().decode() != cfg_json or int(z["seed"]) != seed:
+            return None
+        state = pm.PMState(abc=jnp.asarray(z["abc"]),
+                           cost=jnp.asarray(z["cost"]))
+        return state, int(z["iteration"])
+
+
+def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
+                       seed: int = 0):
+    """run_pair with per-iteration checkpointing and bit-exact resume.
+
+    Returns the same dict as models.pipeline.run_pair (NumPy arrays).
+    """
+    l = jnp.asarray(l_bgr_u8)
+    r = jnp.asarray(r_bgr_u8)
+    h, w, _ = l.shape
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _init(l, r, seed, cfg):
+        vd = build_volume_data(l, r, cfg)
+        cost_fn = pm.make_cost_fn(cfg, vd)
+        key = jax.random.PRNGKey(seed)
+        k_init, _ = jax.random.split(key)
+        return pm.init_state(k_init, (h, w), cost_fn, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _step(l, r, seed, state, iteration, cfg):
+        vd = build_volume_data(l, r, cfg)
+        cost_fn = pm.make_cost_fn(cfg, vd)
+        keys = pm.iteration_keys(jax.random.PRNGKey(seed), cfg)
+        return pm.iteration_step(state, keys[iteration], cost_fn, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _finalize(l, r, state, cfg):
+        dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
+        if cfg.use_pp:
+            vd = build_volume_data(l, r, cfg)
+            dis, valid = postprocess(dis, state.abc, vd.imgs[0], cfg)
+        else:
+            valid = jnp.ones((2, h, w), bool)
+        return {"dis": dis, "abc": state.abc, "cost": state.cost,
+                "valid": valid}
+
+    resumed = load_state(ckpt_path, cfg, seed)
+    if resumed is None:
+        state, start = _init(l, r, jnp.int32(seed), cfg), 0
+        save_state(ckpt_path, state, 0, cfg, seed)
+    else:
+        state, start = resumed
+
+    for it in range(start, cfg.max_iter):
+        state = _step(l, r, jnp.int32(seed), state, jnp.int32(it), cfg)
+        jax.block_until_ready(state.abc)
+        save_state(ckpt_path, state, it + 1, cfg, seed)
+
+    out = _finalize(l, r, state, cfg)
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -266,21 +266,33 @@ def init_state(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
     return PMState(abc=abc, cost=cost)
 
 
+def iteration_step(state: PMState, key: jax.Array, cost_fn: CostFn,
+                   cfg: CSPMConfig) -> PMState:
+    """One outer PatchMatch iteration: propagation sweeps, view
+    propagation, refinement (the loop body of cs_patchmatch.cc:61-99)."""
+    for _ in range(cfg.prop_sweeps):
+        state = spatial_sweep(state, cost_fn, cfg)
+    state = view_propagation(state, cost_fn, cfg)
+    state = plane_refinement(state, key, cost_fn, cfg)
+    return state
+
+
+def iteration_keys(key: jax.Array, cfg: CSPMConfig) -> jax.Array:
+    """Per-iteration RNG keys (split once so checkpoint resume at iteration
+    i reproduces the uninterrupted run exactly)."""
+    _, k_loop = jax.random.split(key)
+    return jax.random.split(k_loop, cfg.max_iter)
+
+
 def patchmatch(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
                cfg: CSPMConfig) -> PMState:
     """Full optimizer: init + max_iter outer iterations."""
-    k_init, k_loop = jax.random.split(key)
+    k_init, _ = jax.random.split(key)
     state = init_state(k_init, hw, cost_fn, cfg)
-
-    def iteration(state, key):
-        for _ in range(cfg.prop_sweeps):
-            state = spatial_sweep(state, cost_fn, cfg)
-        state = view_propagation(state, cost_fn, cfg)
-        state = plane_refinement(state, key, cost_fn, cfg)
-        return state, None
-
-    keys = jax.random.split(k_loop, cfg.max_iter)
-    state, _ = jax.lax.scan(iteration, state, keys)
+    keys = iteration_keys(key, cfg)
+    state, _ = jax.lax.scan(
+        lambda st, k: (iteration_step(st, k, cost_fn, cfg), None),
+        state, keys)
     return state
 
 

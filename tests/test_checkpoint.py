@@ -1,0 +1,65 @@
+"""Checkpoint/resume: a killed run must resume bit-exactly."""
+
+import numpy as np
+
+from crossscalepatchmatch_tpu import CSPMConfig
+from crossscalepatchmatch_tpu.checkpoint import (load_state,
+                                                 run_pair_resumable,
+                                                 save_state)
+from crossscalepatchmatch_tpu.data import make_pair
+
+
+def _cfg():
+    return CSPMConfig(max_dis=8, dis_scale=16, wnd_size=9, max_iter=2,
+                      use_pp=True)
+
+
+def test_resume_is_bit_exact(tmp_path):
+    pair = make_pair(h=40, w=56, max_dis=8, seed=2)
+    cfg = _cfg()
+
+    # uninterrupted checkpointed run
+    p1 = str(tmp_path / "a.npz")
+    full = run_pair_resumable(pair.left, pair.right, cfg, p1, seed=3)
+
+    # "killed" run: run once (writes checkpoints), then truncate the state
+    # back to after iteration 1 and resume from it
+    p2 = str(tmp_path / "b.npz")
+    mid = None
+
+    import crossscalepatchmatch_tpu.checkpoint as ck
+    orig = ck.save_state
+    saved = {}
+
+    def spy(path, state, iteration, cfg2, seed):
+        saved[iteration] = state
+        orig(path, state, iteration, cfg2, seed)
+
+    ck.save_state = spy
+    try:
+        run_pair_resumable(pair.left, pair.right, cfg, p2, seed=3)
+    finally:
+        ck.save_state = orig
+    assert set(saved) == {0, 1, 2}
+
+    # rewind to iteration 1 and resume
+    save_state(p2, saved[1], 1, cfg, 3)
+    resumed = run_pair_resumable(pair.left, pair.right, cfg, p2, seed=3)
+
+    np.testing.assert_array_equal(full["dis"], resumed["dis"])
+    np.testing.assert_array_equal(full["abc"], resumed["abc"])
+
+
+def test_stale_checkpoint_rejected(tmp_path):
+    pair = make_pair(h=40, w=56, max_dis=8, seed=2)
+    cfg = _cfg()
+    p = str(tmp_path / "c.npz")
+    run_pair_resumable(pair.left, pair.right, cfg, p, seed=3)
+    # different seed -> checkpoint must be ignored
+    assert load_state(p, cfg, seed=4) is None
+    # different config -> ignored
+    cfg2 = CSPMConfig(max_dis=8, dis_scale=16, wnd_size=11, max_iter=2)
+    assert load_state(p, cfg2, seed=3) is None
+    # matching -> accepted at final iteration
+    st = load_state(p, cfg, seed=3)
+    assert st is not None and st[1] == cfg.max_iter
