@@ -97,18 +97,17 @@ def make_fly_cost_fn(cfg: CSPMConfig, l_bgr_u8: jax.Array,
 
 
 def _pallas_enabled(cfg: CSPMConfig) -> bool:
-    """Use the fused TPU kernel for the single-scale window cost.
+    """Use the fused TPU kernel(s) for the window plane cost.
 
-    The jnp fallback stays authoritative for CPU tests and the cross-scale
-    path; the kernel is element-exact against it (tests/test_pallas.py).
+    The jnp fallback stays authoritative for CPU tests; the kernels are
+    element-exact against it (tests/test_pallas.py, tests_tpu).
     """
-    return (cfg.use_pallas and not cfg.use_cs
-            and jax.default_backend() == "tpu")
+    return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
 def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
     """Bind the per-view volume data into a batched plane-cost evaluator."""
-    if _pallas_enabled(cfg):
+    if _pallas_enabled(cfg) and not cfg.use_cs:
         from ..ops.pallas.window_cost import (prepare_volumes,
                                               window_plane_cost_prepared)
         prep = prepare_volumes(vd.imgs[0], vd.vols[0],
@@ -118,6 +117,20 @@ def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
         def cost_fn(abc2: jax.Array) -> jax.Array:
             return window_plane_cost_prepared(
                 prep, max_costs, abc2, half_wnd=cfg.half_wnd,
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
+
+        return cost_fn
+    if _pallas_enabled(cfg) and cfg.use_cs:
+        from ..ops.pallas.window_cost import (
+            cross_scale_plane_cost_prepared, prepare_cross_scale)
+        preps = prepare_cross_scale(vd.imgs, vd.vols, half_wnd=cfg.half_wnd)
+        wgts = tuple(float(x) for x in
+                     scale_weights(cfg.scale_num, cfg.reg_lambda))
+        max_costs_s = vd.max_costs
+
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            return cross_scale_plane_cost_prepared(
+                preps, max_costs_s, wgts, abc2, half_wnd=cfg.half_wnd,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
 
         return cost_fn

@@ -48,27 +48,43 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             img_tile, vol_tile, sems,
             *, hb: int, wnd: int, th: int, tw: int, dpad: int,
-            max_dis: int, gamma: float, h: int, w: int, k: int):
+            max_dis: int, gamma: float, h: int, w: int, k: int,
+            scale: int = 0, hs: int | None = None, ws: int | None = None):
     """One (view, tile_y, tile_x) grid step.
 
-    img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by hb on every side of H, W)
+    img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
+      side of H, W; for scale > 0 the arrays are the pyramid level
+      nearest-upsampled to the fine grid, see prepare_volumes)
     vol_hbm: f32[2, Hp, dpad, Wp] HBM
-    abc_ref: f32[1, K, 4, th, tw] VMEM block -- (d_center, a, b, pad)
+    abc_ref: f32[1, K, 4, th, tw] VMEM block -- (d_center, a, b, pad),
+      d_center on the FINE grid (divided by 2^scale in here)
     maxc_ref: f32[2] SMEM scalar-prefetch -- per-view saturation values
     out_ref: f32[1, K, th, tw] VMEM block
-    img_tile: f32[3, th+2hb, WT] VMEM scratch, WT = roundup(tw+2hb, 128)
+    img_tile: f32[3, th+2mg, WT] VMEM scratch, WT = roundup(tw+2mg, 128)
       (dynamic lane-rotates need a 128-multiple lane dim; lanes past
-      tw+2hb are never read)
-    vol_tile: f32[th+2hb, dpad, WT] VMEM scratch
+      tw+2mg are never read)
+    vol_tile: f32[th+2mg, dpad, WT] VMEM scratch
+
+    Cross-scale (scale > 0) semantics follow
+    ops.plane_cost.window_plane_cost_upsampled (pre_cs_pc.cc:133-188): the
+    window is wnd x wnd in *level-s* pixels, i.e. strides of 2^scale on the
+    upsampled fine-grid arrays; the hypothesis disparity at the window pixel
+    is d_center/2^s + a*dx + b*dy (coarse-unit offsets); a window pixel is
+    valid iff its fine coordinate maps to a real level-s pixel
+    ((fy >> s) < hs etc.); max_dis is the level-s disparity bound.
     """
+    if hs is None:
+        hs, ws = h, w
+    step = 1 << scale
+    mg = hb * step        # fine-grid margin baked into the padded arrays
     v = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     r0 = ti * th          # padded-array row of the tile's first halo row
     c0 = tj * tw
 
-    rows_t = img_tile.shape[1]       # roundup(th + 2hb, 8)
-    wt = img_tile.shape[2]           # roundup(tw + 2hb, 128)
+    rows_t = img_tile.shape[1]       # roundup(th + 2mg, 8)
+    wt = img_tile.shape[2]           # roundup(tw + 2mg, 128)
     # DMA slab sizes are rounded up to the (8, 128) memref tiling; the
     # extra rows/lanes are never read by the compute below.
     cp_img = pltpu.make_async_copy(
@@ -80,41 +96,47 @@ def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     cp_img.start()
     cp_vol.start()
 
-    # Global (unpadded) coordinates of the tile's center pixels.
+    # Global (unpadded) FINE-grid coordinates of the tile's center pixels.
     ys = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + r0
     xs = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + c0
     maxc = maxc_ref[v]
     inv_gamma = jnp.float32(1.0 / gamma)
+    inv_step = jnp.float32(1.0 / step)
     d_iota = jax.lax.broadcasted_iota(
         jnp.int32, (th, dpad, tw), 1).astype(jnp.float32)
 
     cp_img.wait()
-    ctr = [img_tile[p, hb:hb + th, hb:hb + tw] for p in range(3)]
+    ctr = [img_tile[p, mg:mg + th, mg:mg + tw] for p in range(3)]
     cp_vol.wait()
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     params = [[abc_ref[0, kk, c] for c in range(3)] for kk in range(k)]
+    if scale > 0:
+        params = [[p0 * inv_step, pa, pb] for p0, pa, pb in params]
 
     # Mosaic cannot form vector loads at traced sublane/lane offsets, so
     # the row offset dy is a static unroll (unaligned static slices are
     # fine) and the column offset dx becomes a dynamic lane-rotate of the
     # per-dy row slab (tpu dynamic_rotate) followed by a static slice.
     for dy in range(-hb, hb + 1):
-        img_dy = [img_tile[p, hb + dy:hb + dy + th, :] for p in range(3)]
-        vol_dy = vol_tile[hb + dy:hb + dy + th, :, :]
-        y_ok = (ys + dy >= 0) & (ys + dy < h)
+        sy = dy * step
+        img_dy = [img_tile[p, mg + sy:mg + sy + th, :] for p in range(3)]
+        vol_dy = vol_tile[mg + sy:mg + sy + th, :, :]
+        fy = ys + sy
+        y_ok = (fy >= 0) & ((fy >> scale) < hs)
 
         def dx_body(dxi, _, img_dy=img_dy, vol_dy=vol_dy, y_ok=y_ok,
                     dy=dy):
-            shift = wt - dxi
+            shift = wt - dxi * step
             q = [pltpu.roll(img_dy[p], shift, 1)[:, :tw] for p in range(3)]
             vol_q = pltpu.roll(vol_dy, shift, 2)[:, :, :tw]
             dx = dxi - hb
             l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
                   + jnp.abs(ctr[2] - q[2]))
-            # window pixel must lie inside the real image
-            q_ok = y_ok & (xs + dx >= 0) & (xs + dx < w)
+            # window pixel must map to a real (level-s) image pixel
+            fx = xs + dx * step
+            q_ok = y_ok & (fx >= 0) & ((fx >> scale) < ws)
             wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
             dxf = dx.astype(jnp.float32)
 
@@ -140,90 +162,111 @@ class PreparedVolumes:
     the ~79 cost evaluations of a PatchMatch run).
     """
 
-    def __init__(self, img_p, vol_p, h, w, d):
+    def __init__(self, img_p, vol_p, h, w, d, scale=0, hs=None, ws=None):
         self.img_p = img_p    # f32[2, 3, Hp, Wp]
         self.vol_p = vol_p    # f32[2, Hp, dpad, Wp]
         self.h, self.w, self.d = h, w, d
+        self.scale = scale    # pyramid level the arrays were upsampled from
+        self.hs = h if hs is None else hs    # level-s image height
+        self.ws = w if ws is None else ws
 
 
 jax.tree_util.register_pytree_node(
     PreparedVolumes,
-    lambda p: ((p.img_p, p.vol_p), (p.h, p.w, p.d)),
+    lambda p: ((p.img_p, p.vol_p), (p.h, p.w, p.d, p.scale, p.hs, p.ws)),
     lambda aux, ch: PreparedVolumes(*ch, *aux))
 
 
 def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
-                    th: int = 64, tw: int = 128) -> PreparedVolumes:
+                    th: int = 64, tw: int = 128, scale: int = 0,
+                    fine_hw: tuple | None = None) -> PreparedVolumes:
     """Lay out images/volumes for the kernel (pad + D-to-sublane transpose).
 
+    For scale > 0 the level-s arrays are nearest-upsampled to the fine grid
+    with an hb*2^s margin on every side (the kernel-layout analogue of
+    ops.plane_cost.upsample_level): padded position (mg + fy, mg + fx)
+    holds level value (fy >> s, fx >> s), edge-clamped in the margins
+    (margin values only feed masked lanes).
+
     Args:
-      imgs_u8: u8[2, H, W, 3] per-view reference images.
-      vols: f32[2, H, W, D] per-view cost volumes.
+      imgs_u8: u8[2, Hs, Ws, 3] per-view level-s reference images.
+      vols: f32[2, Hs, Ws, Ds] per-view level-s cost volumes.
+      scale: pyramid level s (arrays are at level-s resolution).
+      fine_hw: level-0 (H, W); defaults to the input shape (scale 0).
     """
-    nv, h, w, _ = imgs_u8.shape
+    nv, hs, ws, _ = imgs_u8.shape
     d = vols.shape[-1]
-    hb = half_wnd
+    h, w = fine_hw if fine_hw is not None else (hs, ws)
+    step = 1 << scale
+    mg = half_wnd * step
     dpad = _round_up(d, 8)
     n_ty = -(-h // th)
     n_tx = -(-w // tw)
-    rows_t = _round_up(th + 2 * hb, 8)
-    wt_pad = _round_up(tw + 2 * hb, 128)
+    rows_t = _round_up(th + 2 * mg, 8)
+    wt_pad = _round_up(tw + 2 * mg, 128)
     hp = (n_ty - 1) * th + rows_t
     wp = (n_tx - 1) * tw + wt_pad
 
-    # [2, 3, Hp, Wp] image planes, zero-padded hb each side (+ tile round-up)
-    img_f = jnp.moveaxis(imgs_u8.astype(jnp.float32), -1, 1)
-    img_p = jnp.pad(img_f, ((0, 0), (0, 0), (hb, hp - h - hb),
-                            (hb, wp - w - hb)))
-    # [2, Hp, dpad, Wp] volume, D on the sublane axis
-    vol_t = jnp.moveaxis(vols, -1, 2)
-    vol_p = jnp.pad(vol_t, ((0, 0), (hb, hp - h - hb), (0, dpad - d),
-                            (hb, wp - w - hb)))
-    return PreparedVolumes(img_p, vol_p, h, w, d)
+    img_f = jnp.moveaxis(imgs_u8.astype(jnp.float32), -1, 1)  # [2,3,Hs,Ws]
+    vol_t = jnp.moveaxis(vols, -1, 2)                         # [2,Hs,D,Ws]
+    vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, dpad - d), (0, 0)))
+    if scale == 0:
+        img_p = jnp.pad(img_f, ((0, 0), (0, 0), (mg, hp - h - mg),
+                                (mg, wp - w - mg)))
+        vol_p = jnp.pad(vol_t, ((0, 0), (mg, hp - h - mg), (0, 0),
+                                (mg, wp - w - mg)))
+    else:
+        ry = jnp.clip((jnp.arange(hp) - mg) >> scale, 0, hs - 1)
+        rx = jnp.clip((jnp.arange(wp) - mg) >> scale, 0, ws - 1)
+        img_p = jnp.take(jnp.take(img_f, ry, axis=2), rx, axis=3)
+        vol_p = jnp.take(jnp.take(vol_t, ry, axis=1), rx, axis=3)
+    return PreparedVolumes(img_p, vol_p, h, w, d, scale, hs, ws)
 
 
-def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
-                               abc: jax.Array, *, half_wnd: int,
-                               max_dis: int, gamma: float, th: int = 64,
-                               tw: int = 128) -> jax.Array:
-    """Fused window plane cost over pre-laid-out volumes.
+def plane_params(abc: jax.Array, *, th: int = 64,
+                 tw: int = 128) -> jax.Array:
+    """Kernel-input plane parameters (d_center, a, b, 0), tile-padded.
 
-    Args:
-      prep: prepare_volumes output (same half_wnd/th/tw).
-      max_costs: f32[2] per-view saturation values.
-      abc: f32[2, K, H, W, 3] candidate plane fields.
-
-    Returns:
-      f32[2, K, H, W] aggregated window costs (identical semantics to
-      ops.plane_cost.window_plane_cost vmapped over views).
+    abc: f32[2, K, H, W, 3] -> f32[2, K, 4, TH, TW]; d_center is the plane
+    disparity at the pixel's own fine-grid coordinates.  Computed once per
+    candidate batch and shared across pyramid scales.
     """
-    h, w, d = prep.h, prep.w, prep.d
-    img_p, vol_p = prep.img_p, prep.vol_p
-    nv = img_p.shape[0]
-    k = abc.shape[1]
-    hb = half_wnd
-    wnd = 2 * hb + 1
-    dpad = _round_up(d, 8)
-
+    h, w = abc.shape[-3], abc.shape[-2]
     n_ty = -(-h // th)
     n_tx = -(-w // tw)
-    rows_t = _round_up(th + 2 * hb, 8)
-    wt_pad = _round_up(tw + 2 * hb, 128)
-
-    # plane params evaluated at global center coords: (d_center, a, b, 0)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     d_center = abc[..., 0] * xs + abc[..., 1] * ys + abc[..., 2]
     params = jnp.stack([d_center, abc[..., 0], abc[..., 1],
                         jnp.zeros_like(d_center)], axis=2)  # [2, K, 4, H, W]
-    params = jnp.pad(params, ((0, 0), (0, 0), (0, 0),
-                              (0, n_ty * th - h), (0, n_tx * tw - w)))
+    return jnp.pad(params, ((0, 0), (0, 0), (0, 0),
+                            (0, n_ty * th - h), (0, n_tx * tw - w)))
+
+
+def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
+            *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
+            tw: int) -> jax.Array:
+    """Run the kernel for one (possibly upsampled) pyramid level."""
+    h, w, d = prep.h, prep.w, prep.d
+    img_p, vol_p = prep.img_p, prep.vol_p
+    nv = img_p.shape[0]
+    k = params.shape[1]
+    hb = half_wnd
+    wnd = 2 * hb + 1
+    mg = hb << prep.scale
+    dpad = _round_up(d, 8)
+
+    n_ty = -(-h // th)
+    n_tx = -(-w // tw)
+    rows_t = _round_up(th + 2 * mg, 8)
+    wt_pad = _round_up(tw + 2 * mg, 128)
 
     maxc = max_costs.astype(jnp.float32)
 
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
-        max_dis=max_dis, gamma=gamma, h=h, w=w, k=k)
+        max_dis=max_dis_s, gamma=gamma, h=h, w=w, k=k,
+        scale=prep.scale, hs=prep.hs, ws=prep.ws)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -261,6 +304,69 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     return out[:, :, :h, :w]
 
 
+def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
+                               abc: jax.Array, *, half_wnd: int,
+                               max_dis: int, gamma: float, th: int = 64,
+                               tw: int = 128) -> jax.Array:
+    """Fused window plane cost over pre-laid-out volumes.
+
+    Args:
+      prep: prepare_volumes output (same half_wnd/th/tw).
+      max_costs: f32[2] per-view saturation values.
+      abc: f32[2, K, H, W, 3] candidate plane fields.
+
+    Returns:
+      f32[2, K, H, W] aggregated window costs (identical semantics to
+      ops.plane_cost.window_plane_cost vmapped over views).
+    """
+    params = plane_params(abc, th=th, tw=tw)
+    return _invoke(prep, max_costs, params, half_wnd=half_wnd,
+                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw)
+
+
+def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
+                        tw: int = 128):
+    """Kernel layouts for every pyramid level of a VolumeData.
+
+    vd_imgs[s]: u8[2, Hs, Ws, 3]; vd_vols[s]: f32[2, Hs, Ws, Ds].
+    """
+    fine_hw = vd_imgs[0].shape[1:3]
+    return [prepare_volumes(img_s, vol_s, half_wnd=half_wnd, th=th, tw=tw,
+                            scale=s, fine_hw=fine_hw)
+            for s, (img_s, vol_s) in enumerate(zip(vd_imgs, vd_vols))]
+
+
+def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
+                                    abc: jax.Array, *, half_wnd: int,
+                                    max_dis: int, gamma: float, th: int = 64,
+                                    tw: int = 128) -> jax.Array:
+    """Cross-scale aggregated plane cost, fused kernel per level.
+
+    sum_s wgt_s * cost_s with the plane re-anchored through the level-s
+    point (x >> s, y >> s, d / 2^s) (pre_cs_pc.cc:133-188); identical
+    semantics to ops.plane_cost.cross_scale_plane_cost vmapped over views.
+
+    Args:
+      preps: prepare_cross_scale output (level 0 finest).
+      max_costs_s[s]: f32[2] per-view per-level saturation values.
+      scale_wgts: inter-scale regularization weights (ops.scale_weights).
+      abc: f32[2, K, H, W, 3] candidate plane fields.
+
+    Returns:
+      f32[2, K, H, W].
+    """
+    params = plane_params(abc, th=th, tw=tw)
+    total = None
+    md = max_dis
+    for s, prep in enumerate(preps):
+        cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
+                         max_dis_s=md, gamma=gamma, th=th, tw=tw)
+        term = jnp.float32(scale_wgts[s]) * cost_s
+        total = term if total is None else total + term
+        md //= 2
+    return total
+
+
 @functools.partial(jax.jit, static_argnames=(
     "half_wnd", "max_dis", "gamma", "th", "tw"))
 def window_plane_cost_pallas(imgs_u8: jax.Array, vols: jax.Array,
@@ -272,3 +378,21 @@ def window_plane_cost_pallas(imgs_u8: jax.Array, vols: jax.Array,
     return window_plane_cost_prepared(prep, max_costs, abc,
                                       half_wnd=half_wnd, max_dis=max_dis,
                                       gamma=gamma, th=th, tw=tw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "scale_wgts", "half_wnd", "max_dis", "gamma", "th", "tw"))
+def cross_scale_plane_cost_pallas(pyr_imgs, pyr_vols, pyr_max_costs,
+                                  scale_wgts, abc: jax.Array, *,
+                                  half_wnd: int, max_dis: int, gamma: float,
+                                  th: int = 64, tw: int = 128) -> jax.Array:
+    """One-shot convenience wrapper: prepare + evaluate (used by tests).
+
+    pyr_imgs / pyr_vols / pyr_max_costs are per-level tuples (level 0
+    finest); scale_wgts a static tuple of floats.
+    """
+    preps = prepare_cross_scale(pyr_imgs, pyr_vols, half_wnd=half_wnd,
+                                th=th, tw=tw)
+    return cross_scale_plane_cost_prepared(
+        preps, pyr_max_costs, scale_wgts, abc, half_wnd=half_wnd,
+        max_dis=max_dis, gamma=gamma, th=th, tw=tw)

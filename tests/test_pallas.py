@@ -41,3 +41,42 @@ def test_kernel_matches_jnp_interpret(k):
             imgs, vols, mc, abc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cross_scale_kernel_matches_jnp_interpret():
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        cross_scale_plane_cost_pallas)
+    from crossscalepatchmatch_tpu.ops.plane_cost import cross_scale_plane_cost
+
+    h, w, max_dis, wnd, k, scales = 24, 40, 8, 5, 2, 3
+    key = jax.random.PRNGKey(1)
+    keys = jax.random.split(key, 2 * scales + 2)
+    hs, ws, md = h, w, max_dis
+    imgs, vols, mcs = [], [], []
+    for s in range(scales):
+        imgs.append(jax.random.randint(keys[2 * s], (2, hs, ws, 3), 0, 255,
+                                       jnp.uint8))
+        v = jax.random.uniform(keys[2 * s + 1], (2, hs, ws, md + 1),
+                               jnp.float32)
+        vols.append(v)
+        mcs.append(jnp.max(v, axis=(1, 2, 3)))
+        hs, ws, md = (hs + 1) // 2, (ws + 1) // 2, md // 2
+    ab = jax.random.uniform(keys[-2], (2, k, h, w, 2), jnp.float32, -1, 1)
+    dc = jax.random.uniform(keys[-1], (2, k, h, w), jnp.float32, 0, max_dis)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+    wgts = (0.5, 0.3, 0.2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = cross_scale_plane_cost_pallas(
+            tuple(imgs), tuple(vols), tuple(mcs), wgts, abc,
+            half_wnd=wnd // 2, max_dis=max_dis, gamma=10.0, th=8, tw=128)
+    want = jax.vmap(lambda i0, i1, i2, v0, v1, v2, m, a: cross_scale_plane_cost(
+        [i0, i1, i2], [v0, v1, v2], m, wgts, a,
+        half_wnd=wnd // 2, max_dis=max_dis, gamma=10.0))(
+            imgs[0], imgs[1], imgs[2], vols[0], vols[1], vols[2],
+            jnp.stack(mcs, 1), abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

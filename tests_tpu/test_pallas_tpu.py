@@ -43,6 +43,75 @@ def test_kernel_exact_vs_jnp(h, w, d, wnd, k):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("h,w,max_dis,wnd,k,scales", [
+    (96, 130, 20, 19, 1, 3),      # non-tile-multiple shapes
+    (96, 130, 20, 19, 2, 4),      # deep margins (mg = 72 at s = 3)
+])
+def test_cross_scale_kernel_exact_vs_jnp(h, w, max_dis, wnd, k, scales):
+    # NOTE: the jnp reference itself is restricted to wnd=19 here: the
+    # wnd=35 upsampled jnp program crashes the XLA:TPU runtime (worker
+    # abort even at a single scale), which is why the Pallas kernel is the
+    # only supported cross-scale path on TPU.  wnd=35 kernel semantics are
+    # covered by the interpret-mode test (tests/test_pallas.py) and the
+    # end-to-end use_cs pipeline test below.
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        cross_scale_plane_cost_pallas)
+    from crossscalepatchmatch_tpu.ops.plane_cost import cross_scale_plane_cost
+
+    key = jax.random.PRNGKey(2)
+    keys = jax.random.split(key, 2 * scales + 2)
+    hs, ws, md = h, w, max_dis
+    imgs, vols, mcs = [], [], []
+    for s in range(scales):
+        imgs.append(jax.random.randint(keys[2 * s], (2, hs, ws, 3), 0, 255,
+                                       jnp.uint8))
+        v = jax.random.uniform(keys[2 * s + 1], (2, hs, ws, md + 1),
+                               jnp.float32)
+        vols.append(v)
+        mcs.append(jnp.max(v, axis=(1, 2, 3)))
+        hs, ws, md = (hs + 1) // 2, (ws + 1) // 2, md // 2
+    ab = jax.random.uniform(keys[-2], (2, k, h, w, 2), jnp.float32, -1, 1)
+    dc = jax.random.uniform(keys[-1], (2, k, h, w), jnp.float32, 0, max_dis)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+    wgts = tuple(float(x) for x in np.linspace(0.4, 0.1, scales))
+
+    got = cross_scale_plane_cost_pallas(
+        tuple(imgs), tuple(vols), tuple(mcs), wgts, abc,
+        half_wnd=wnd // 2, max_dis=max_dis, gamma=10.0)
+
+    # Reference: one short jit execution per scale (a single fused
+    # all-scales jnp execution runs for minutes and can drop the TPU
+    # tunnel), accumulated on the host.
+    from crossscalepatchmatch_tpu.ops.plane_cost import (
+        upsample_level, upsample_valid, window_plane_cost,
+        window_plane_cost_upsampled)
+
+    want = np.zeros(got.shape, np.float32)
+    md = max_dis
+    for s in range(scales):
+        if s == 0:
+            cost_s = jax.jit(jax.vmap(
+                lambda i, v, m, a: window_plane_cost(
+                    i, v, m, a, half_wnd=wnd // 2, max_dis=max_dis,
+                    gamma=10.0)))(imgs[0], vols[0], mcs[0], abc)
+        else:
+            def per_view(i, v, m, a, s=s, md=md):
+                iu = upsample_level(i, s, wnd // 2, (h, w))
+                vu = upsample_level(v, s, wnd // 2, (h, w))
+                valid = upsample_valid(s, wnd // 2, (h, w), i.shape[:2])
+                return window_plane_cost_upsampled(
+                    iu, vu, valid, m, a, scale=s, half_wnd=wnd // 2,
+                    max_dis_s=md, gamma=10.0)
+            cost_s = jax.jit(jax.vmap(per_view))(imgs[s], vols[s], mcs[s],
+                                                 abc)
+        want += wgts[s] * np.asarray(cost_s)
+        md //= 2
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_runs_with_kernel():
     from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
     from crossscalepatchmatch_tpu.data import make_pair
@@ -51,6 +120,28 @@ def test_pipeline_runs_with_kernel():
 
     pair = make_pair(h=96, w=128, max_dis=16, seed=5)
     cfg = CSPMConfig(max_dis=16, dis_scale=8, wnd_size=19)
+    out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+    disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+    bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+    assert bad < 0.1, bad
+
+
+def test_pipeline_cross_scale_runs_with_kernel():
+    """End-to-end use_cs=True on TPU rides the per-scale fused kernels
+    (the jnp cross-scale path is not runnable on this backend).
+
+    Uses the reference's wnd=35 at a scene large enough for that window
+    (a 35-px ASW window on a ~100-px image is degenerate).
+    """
+    from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+    from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
+
+    pair = make_pair(h=192, w=256, max_dis=16, seed=5)
+    cfg = CSPMConfig(max_dis=16, dis_scale=8, wnd_size=35, use_cs=True,
+                     scale_num=3, reg_lambda=0.3,
+                     cost_method=CostMethod.CEN)
     out = run_pair_np(pair.left, pair.right, cfg, seed=0)
     disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
     bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
