@@ -49,7 +49,8 @@ def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             img_tile, vol_tile, sems,
             *, hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, h: int, w: int, k: int,
-            scale: int = 0, hs: int | None = None, ws: int | None = None):
+            scale: int = 0, hs: int | None = None, ws: int | None = None,
+            slab: int = 0):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -72,6 +73,16 @@ def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     is d_center/2^s + a*dx + b*dy (coarse-unit offsets); a window pixel is
     valid iff its fine coordinate maps to a real level-s pixel
     ((fy >> s) < hs etc.); max_dis is the level-s disparity bound.
+
+    Disparity-slab fast path (slab = S > 0): the tent contraction only has
+    mass where |dq - d| < 1, so per row offset dy the kernel computes a
+    conservative bound on dq over the whole tile, the stencil of dx offsets,
+    and all K candidates (interval arithmetic over the per-tile min/max of
+    d_center, a, b -- exact, never clips real mass).  When the bound spans
+    <= S slices, the contraction runs over a dynamically-sliced S-sublane
+    slab instead of all dpad slices (~dpad/S times less VPU work); otherwise
+    it falls back to the full contraction.  Early (random-init) evaluations
+    mostly take the full path; converged plane fields mostly take the slab.
     """
     if hs is None:
         hs, ws = h, w
@@ -102,8 +113,6 @@ def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     maxc = maxc_ref[v]
     inv_gamma = jnp.float32(1.0 / gamma)
     inv_step = jnp.float32(1.0 / step)
-    d_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (th, dpad, tw), 1).astype(jnp.float32)
 
     cp_img.wait()
     ctr = [img_tile[p, mg:mg + th, mg:mg + tw] for p in range(3)]
@@ -115,43 +124,97 @@ def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     if scale > 0:
         params = [[p0 * inv_step, pa, pb] for p0, pa, pb in params]
 
-    # Mosaic cannot form vector loads at traced sublane/lane offsets, so
-    # the row offset dy is a static unroll (unaligned static slices are
-    # fine) and the column offset dx becomes a dynamic lane-rotate of the
-    # per-dy row slab (tpu dynamic_rotate) followed by a static slice.
+    use_slab = 0 < slab < dpad
+    if use_slab:
+        # Per-candidate tile bounds of d_center, b, and |a| (the dx span is
+        # symmetric), feeding the per-dy dq interval below.
+        p0mn = [jnp.min(params[kk][0]) for kk in range(k)]
+        p0mx = [jnp.max(params[kk][0]) for kk in range(k)]
+        a_abs = [jnp.maximum(jnp.abs(jnp.min(params[kk][1])),
+                             jnp.abs(jnp.max(params[kk][1])))
+                 for kk in range(k)]
+        bmn = [jnp.min(params[kk][2]) for kk in range(k)]
+        bmx = [jnp.max(params[kk][2]) for kk in range(k)]
+
+    # Mosaic cannot form vector loads at traced lane offsets, so the row
+    # offset dy is a static unroll (unaligned static slices are fine) and
+    # the column offset dx becomes a dynamic lane-rotate of the per-dy row
+    # slab (tpu dynamic_rotate) followed by a static slice.
     for dy in range(-hb, hb + 1):
         sy = dy * step
         img_dy = [img_tile[p, mg + sy:mg + sy + th, :] for p in range(3)]
-        vol_dy = vol_tile[mg + sy:mg + sy + th, :, :]
         fy = ys + sy
         y_ok = (fy >= 0) & ((fy >> scale) < hs)
 
-        def dx_body(dxi, _, img_dy=img_dy, vol_dy=vol_dy, y_ok=y_ok,
-                    dy=dy):
-            shift = wt - dxi * step
-            q = [pltpu.roll(img_dy[p], shift, 1)[:, :tw] for p in range(3)]
-            vol_q = pltpu.roll(vol_dy, shift, 2)[:, :, :tw]
-            dx = dxi - hb
-            l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
-                  + jnp.abs(ctr[2] - q[2]))
-            # window pixel must map to a real (level-s) image pixel
-            fx = xs + dx * step
-            q_ok = y_ok & (fx >= 0) & ((fx >> scale) < ws)
-            wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
-            dxf = dx.astype(jnp.float32)
+        def dx_loop(vol_dy, d0, nd, img_dy=img_dy, y_ok=y_ok, dy=dy):
+            """Accumulate all dx offsets with the tent contracted over
+            vol_dy's nd slices, whose first slice is disparity d0."""
+            d_io = jax.lax.broadcasted_iota(
+                jnp.int32, (th, nd, tw), 1).astype(jnp.float32)
+            d_io = d_io + d0.astype(jnp.float32) if nd != dpad else d_io
 
-            for kk in range(k):
-                dq = params[kk][0] + params[kk][1] * dxf + params[kk][2] * dy
-                f = jnp.trunc(dq)
-                in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
-                tent = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(dq[:, None, :] - d_iota))
-                val = jnp.sum(vol_q * tent, axis=1)
-                val = jnp.where(in_range, val, maxc)
-                out_ref[0, kk] += wgt * val
-            return 0
+            def dx_body(dxi, _):
+                shift = wt - dxi * step
+                q = [pltpu.roll(img_dy[p], shift, 1)[:, :tw]
+                     for p in range(3)]
+                vol_q = pltpu.roll(vol_dy, shift, 2)[:, :, :tw]
+                dx = dxi - hb
+                l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
+                      + jnp.abs(ctr[2] - q[2]))
+                # window pixel must map to a real (level-s) image pixel
+                fx = xs + dx * step
+                q_ok = y_ok & (fx >= 0) & ((fx >> scale) < ws)
+                wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
+                dxf = dx.astype(jnp.float32)
 
-        jax.lax.fori_loop(0, wnd, dx_body, 0)
+                for kk in range(k):
+                    dq = (params[kk][0] + params[kk][1] * dxf
+                          + params[kk][2] * dy)
+                    f = jnp.trunc(dq)
+                    in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
+                    tent = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
+                    val = jnp.sum(vol_q * tent, axis=1)
+                    val = jnp.where(in_range, val, maxc)
+                    out_ref[0, kk] += wgt * val
+                return 0
+
+            jax.lax.fori_loop(0, wnd, dx_body, 0)
+
+        if not use_slab:
+            dx_loop(vol_tile[mg + sy:mg + sy + th, :, :], jnp.int32(0),
+                    dpad)
+            continue
+
+        # dq interval over the tile, all dx in [-hb, hb], and all K.
+        dqmn = dqmx = None
+        for kk in range(k):
+            span = a_abs[kk] * jnp.float32(hb)
+            lo_k = (p0mn[kk] - span
+                    + jnp.minimum(bmn[kk] * dy, bmx[kk] * dy))
+            hi_k = (p0mx[kk] + span
+                    + jnp.maximum(bmn[kk] * dy, bmx[kk] * dy))
+            dqmn = lo_k if dqmn is None else jnp.minimum(dqmn, lo_k)
+            dqmx = hi_k if dqmx is None else jnp.maximum(dqmx, hi_k)
+        # tent mass lives at integer d in (dq-1, dq+1); intersect with the
+        # volume's [0, dpad-1] (slices past it are zero-padded).  The slab
+        # start is aligned down to a sublane multiple (Mosaic requires the
+        # dynamic sublane index to be provably a multiple of 8).
+        lo2 = jnp.maximum(jnp.floor(dqmn).astype(jnp.int32), 0)
+        hi2 = jnp.minimum(jnp.ceil(dqmx).astype(jnp.int32), dpad - 1)
+        lo8 = (lo2 >> 3) << 3
+        fits = hi2 - lo8 < slab          # also true when hi2 < lo2
+        lo_c = pl.multiple_of(jnp.minimum(lo8, dpad - slab), 8)
+
+        @pl.when(fits)
+        def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
+            dx_loop(vol_tile[mg + sy:mg + sy + th, pl.ds(lo_c, slab), :],
+                    lo_c, slab)
+
+        @pl.when(jnp.logical_not(fits))
+        def _(sy=sy, dx_loop=dx_loop):
+            dx_loop(vol_tile[mg + sy:mg + sy + th, :, :], jnp.int32(0),
+                    dpad)
 
 
 class PreparedVolumes:
@@ -245,7 +308,7 @@ def plane_params(abc: jax.Array, *, th: int = 64,
 
 def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
-            tw: int) -> jax.Array:
+            tw: int, slab: int = 32) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level."""
     h, w, d = prep.h, prep.w, prep.d
     img_p, vol_p = prep.img_p, prep.vol_p
@@ -266,7 +329,7 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, h=h, w=w, k=k,
-        scale=prep.scale, hs=prep.hs, ws=prep.ws)
+        scale=prep.scale, hs=prep.hs, ws=prep.ws, slab=slab)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -307,7 +370,7 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
 def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                abc: jax.Array, *, half_wnd: int,
                                max_dis: int, gamma: float, th: int = 64,
-                               tw: int = 128) -> jax.Array:
+                               tw: int = 128, slab: int = 32) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -321,7 +384,7 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     """
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
-                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw)
+                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab)
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
@@ -339,7 +402,8 @@ def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
 def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
                                     abc: jax.Array, *, half_wnd: int,
                                     max_dis: int, gamma: float, th: int = 64,
-                                    tw: int = 128) -> jax.Array:
+                                    tw: int = 128, slab: int = 32
+                                    ) -> jax.Array:
     """Cross-scale aggregated plane cost, fused kernel per level.
 
     sum_s wgt_s * cost_s with the plane re-anchored through the level-s
@@ -360,7 +424,7 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
     md = max_dis
     for s, prep in enumerate(preps):
         cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
-                         max_dis_s=md, gamma=gamma, th=th, tw=tw)
+                         max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2

@@ -43,6 +43,40 @@ def test_kernel_matches_jnp_interpret(k):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_kernel_slab_path_matches_jnp_interpret():
+    """Disparity-slab fast path: D large enough to enable the slab, with a
+    smooth candidate (takes the slab branch) and a wild candidate (falls
+    back to the full contraction) in the same batch."""
+    h, w, d, wnd = 16, 40, 40, 5
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    vols = jax.random.uniform(k2, (2, h, w, d + 1), jnp.float32)
+    mc = jnp.max(vols, axis=(1, 2, 3))
+    # candidate 0: near-fronto planes in a narrow disparity band (slab fits)
+    ab0 = jax.random.uniform(k3, (2, 1, h, w, 2), jnp.float32, -0.05, 0.05)
+    dc0 = jax.random.uniform(k3, (2, 1, h, w), jnp.float32, 20.0, 24.0)
+    # candidate 1: arbitrary planes spanning the whole volume (slab misses)
+    ab1 = jax.random.uniform(k2, (2, 1, h, w, 2), jnp.float32, -1, 1)
+    dc1 = jax.random.uniform(k2, (2, 1, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    for ab, dc in [(ab0, dc0),                          # pure fast path
+                   (jnp.concatenate([ab0, ab1], axis=1),  # forces fallback
+                    jnp.concatenate([dc0, dc1], axis=1))]:
+        c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+        abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+        with pltpu.force_tpu_interpret_mode():
+            got = window_plane_cost_pallas(
+                imgs, vols, mc, abc, half_wnd=wnd // 2, max_dis=d,
+                gamma=10.0, th=8, tw=128)
+        want = jax.vmap(lambda i, v, m, a: window_plane_cost(
+            i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
+                imgs, vols, mc, abc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_cross_scale_kernel_matches_jnp_interpret():
     from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
         cross_scale_plane_cost_pallas)
