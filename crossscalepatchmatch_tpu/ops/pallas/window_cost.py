@@ -45,7 +45,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
+def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             img_tile, vol_tile, sems,
             *, hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, h: int, w: int, k: int,
@@ -60,6 +60,11 @@ def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     abc_ref: f32[1, K, 4, th, tw] VMEM block -- (d_center, a, b, pad),
       d_center on the FINE grid (divided by 2^scale in here)
     maxc_ref: f32[2] SMEM scalar-prefetch -- per-view saturation values
+    yb_ref: i32[2] SMEM scalar-prefetch -- [ylo, yhi) row-validity bounds
+      in local row coordinates (scale 0 only).  (0, h) for a standalone
+      image; a spatially-sharded caller passes its band's global-border
+      clip so neighbor-halo rows count as valid image rows
+      (parallel.tiled) while rows past the global image border do not.
     out_ref: f32[1, K, th, tw] VMEM block
     img_tile: f32[3, th+2mg, WT] VMEM scratch, WT = roundup(tw+2mg, 128)
       (dynamic lane-rotates need a 128-multiple lane dim; lanes past
@@ -144,7 +149,10 @@ def _kernel(maxc_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         sy = dy * step
         img_dy = [img_tile[p, mg + sy:mg + sy + th, :] for p in range(3)]
         fy = ys + sy
-        y_ok = (fy >= 0) & ((fy >> scale) < hs)
+        if scale == 0:
+            y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
+        else:
+            y_ok = (fy >= 0) & ((fy >> scale) < hs)
 
         def dx_loop(vol_dy, d0, nd, img_dy=img_dy, y_ok=y_ok, dy=dy):
             """Accumulate all dx offsets with the tent contracted over
@@ -242,7 +250,8 @@ jax.tree_util.register_pytree_node(
 
 def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
                     th: int = 64, tw: int = 128, scale: int = 0,
-                    fine_hw: tuple | None = None) -> PreparedVolumes:
+                    fine_hw: tuple | None = None,
+                    rows_extended: bool = False) -> PreparedVolumes:
     """Lay out images/volumes for the kernel (pad + D-to-sublane transpose).
 
     For scale > 0 the level-s arrays are nearest-upsampled to the fine grid
@@ -256,9 +265,15 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
       vols: f32[2, Hs, Ws, Ds] per-view level-s cost volumes.
       scale: pyramid level s (arrays are at level-s resolution).
       fine_hw: level-0 (H, W); defaults to the input shape (scale 0).
+      rows_extended: the input rows already carry a half_wnd halo on each
+        side (a spatially-sharded caller's ppermute-extended band); only
+        valid with scale 0.
     """
     nv, hs, ws, _ = imgs_u8.shape
     d = vols.shape[-1]
+    if rows_extended:
+        assert scale == 0 and fine_hw is None
+        hs -= 2 * half_wnd
     h, w = fine_hw if fine_hw is not None else (hs, ws)
     step = 1 << scale
     mg = half_wnd * step
@@ -273,7 +288,14 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
     img_f = jnp.moveaxis(imgs_u8.astype(jnp.float32), -1, 1)  # [2,3,Hs,Ws]
     vol_t = jnp.moveaxis(vols, -1, 2)                         # [2,Hs,D,Ws]
     vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, dpad - d), (0, 0)))
-    if scale == 0:
+    if rows_extended:
+        # rows already carry an mg halo each side (sharded caller);
+        # only the bottom tile round-up and the column margins are added
+        img_p = jnp.pad(img_f, ((0, 0), (0, 0), (0, hp - h - 2 * mg),
+                                (mg, wp - w - mg)))
+        vol_p = jnp.pad(vol_t, ((0, 0), (0, hp - h - 2 * mg), (0, 0),
+                                (mg, wp - w - mg)))
+    elif scale == 0:
         img_p = jnp.pad(img_f, ((0, 0), (0, 0), (mg, hp - h - mg),
                                 (mg, wp - w - mg)))
         vol_p = jnp.pad(vol_t, ((0, 0), (mg, hp - h - mg), (0, 0),
@@ -308,7 +330,8 @@ def plane_params(abc: jax.Array, *, th: int = 64,
 
 def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
-            tw: int, slab: int = 32) -> jax.Array:
+            tw: int, slab: int = 32,
+            ybounds: jax.Array | None = None) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level."""
     h, w, d = prep.h, prep.w, prep.d
     img_p, vol_p = prep.img_p, prep.vol_p
@@ -325,6 +348,8 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
     wt_pad = _round_up(tw + 2 * mg, 128)
 
     maxc = max_costs.astype(jnp.float32)
+    if ybounds is None:
+        ybounds = jnp.array([0, h], jnp.int32)
 
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
@@ -332,7 +357,7 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
         scale=prep.scale, hs=prep.hs, ws=prep.ws, slab=slab)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nv, n_ty, n_tx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -363,20 +388,24 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
             bytes_accessed=(vol_p.size + img_p.size) * 4,
             transcendentals=nv * n_ty * th * n_tx * tw * wnd * wnd,
         ),
-    )(maxc, img_p, vol_p, params)
+    )(maxc, ybounds.astype(jnp.int32), img_p, vol_p, params)
     return out[:, :, :h, :w]
 
 
 def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                abc: jax.Array, *, half_wnd: int,
                                max_dis: int, gamma: float, th: int = 64,
-                               tw: int = 128, slab: int = 32) -> jax.Array:
+                               tw: int = 128, slab: int = 32,
+                               ybounds: jax.Array | None = None
+                               ) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
       prep: prepare_volumes output (same half_wnd/th/tw).
       max_costs: f32[2] per-view saturation values.
       abc: f32[2, K, H, W, 3] candidate plane fields.
+      ybounds: optional i32[2] local-row validity interval for spatially
+        sharded bands (see _kernel); defaults to [0, H).
 
     Returns:
       f32[2, K, H, W] aggregated window costs (identical semantics to
@@ -384,7 +413,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     """
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
-                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab)
+                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
+                   ybounds=ybounds)
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,

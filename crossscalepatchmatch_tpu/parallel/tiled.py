@@ -98,11 +98,26 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     g_row = ty * hs + jnp.arange(-hw, hs + hw)
     row_valid = (g_row >= 0) & (g_row < n_ty * hs)
 
-    def cost_fn(abc2: jax.Array) -> jax.Array:
-        fn = functools.partial(window_plane_cost, half_wnd=hw,
-                               max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                               center_row0=hw, row_valid=row_valid)
-        return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        # Fused kernel on the band: neighbor-halo rows are valid image
+        # rows, rows past the global border are not -- expressed as the
+        # [ylo, yhi) local-row interval scalar-prefetched into the kernel.
+        from ..ops.pallas.window_cost import (prepare_volumes,
+                                              window_plane_cost_prepared)
+        prep = prepare_volumes(ext_imgs, ext_vols, half_wnd=hw,
+                               rows_extended=True)
+        ybounds = jnp.stack([-ty * hs, (n_ty - ty) * hs]).astype(jnp.int32)
+
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            return window_plane_cost_prepared(
+                prep, max_cost, abc2, half_wnd=hw, max_dis=cfg.max_dis,
+                gamma=cfg.wgt_gamma, ybounds=ybounds)
+    else:
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            fn = functools.partial(window_plane_cost, half_wnd=hw,
+                                   max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                                   center_row0=hw, row_valid=row_valid)
+            return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
 
     # --- optimizer --------------------------------------------------------
     k_init, k_loop = jax.random.split(key)
@@ -153,10 +168,12 @@ def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
             "sharded path currently supports single-scale GRD")
     n_ty = mesh.shape["ty"]
 
+    # check_vma=False: pallas_call outputs carry no varying-axes metadata,
+    # which the vma checker (on by default) rejects under shard_map.
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("data", "ty"), P("data", "ty"), P("data")),
-        out_specs=P("data", None, "ty", None))
+        out_specs=P("data", None, "ty", None), check_vma=False)
     def fn(l_blk, r_blk, seed_blk):
         return jax.vmap(
             lambda l1, r1, s: _pair_sharded(l1, r1, s, cfg, n_ty))(

@@ -112,6 +112,75 @@ def test_cross_scale_kernel_exact_vs_jnp(h, w, max_dis, wnd, k, scales):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+def test_kernel_ybounds_band_matches_full_image():
+    """Sharded-band semantics: a row band with real neighbor-halo rows on
+    one side and past-the-border rows on the other, evaluated with the
+    [ylo, yhi) prefetch bounds, must reproduce the full-image cost rows."""
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        prepare_volumes, window_plane_cost_prepared)
+    from crossscalepatchmatch_tpu.ops.plane_cost import window_plane_cost
+
+    h, w, d, wnd, k = 96, 130, 20, 35, 2
+    hb = wnd // 2
+    hs = h // 2                       # band = bottom half (ty=1 of 2)
+    imgs, vols, mc, abc = _mk(h, w, d, k, seed=3)
+
+    # full-image reference, sliced to the band's rows
+    want = jax.jit(jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=hb, max_dis=d, gamma=10.0)))(
+            imgs, vols, mc, abc)[:, :, hs:, :]
+
+    # band arrays: real halo rows above, zero (past-border) rows below
+    def band(x):
+        top = x[:, hs - hb:]
+        pad = jnp.zeros((x.shape[0], hb) + x.shape[2:], x.dtype)
+        return jnp.concatenate([top, pad], axis=1)
+
+    # re-anchor planes into local band rows: c_local = c + b * hs
+    abc_b = abc[:, :, hs:].at[..., 2].add(abc[:, :, hs:, :, 1] * hs)
+    prep = prepare_volumes(band(imgs), band(vols), half_wnd=hb,
+                           rows_extended=True)
+    ybounds = jnp.array([-hs, hs], jnp.int32)
+    got = jax.jit(lambda p, m, a: window_plane_cost_prepared(
+        p, m, a, half_wnd=hb, max_dis=d, gamma=10.0, ybounds=ybounds))(
+            prep, mc, abc_b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_kernel_matches_sharded_jnp_quality():
+    """run_batch_sharded with the fused kernel reaches the same solution
+    quality as the jnp-cost sharded path.  (Bit-equality is not expected:
+    the kernel's tent contraction and jnp's two-tap lerp differ in the
+    last ulp, which flips some argmin adoptions in the stochastic
+    optimizer; the per-cost-call exactness bound is covered by the
+    dedicated kernel tests above.)"""
+    import dataclasses
+
+    from crossscalepatchmatch_tpu import CSPMConfig
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+    from crossscalepatchmatch_tpu.parallel.mesh import make_mesh
+    from crossscalepatchmatch_tpu.parallel.tiled import jit_run_batch_sharded
+
+    mesh = make_mesh(1, 1)
+    cfg = CSPMConfig(max_dis=16, dis_scale=8, wnd_size=19, max_iter=2,
+                     use_pp=True)
+    pair = make_pair(h=96, w=128, max_dis=16, seed=1)
+    l = jnp.asarray(pair.left)[None]
+    r = jnp.asarray(pair.right)[None]
+    seeds = jnp.zeros((1,), jnp.int32)
+
+    dis_k = jit_run_batch_sharded(cfg, mesh)(l, r, seeds)
+    cfg_j = dataclasses.replace(cfg, use_pallas=False)
+    dis_j = jit_run_batch_sharded(cfg_j, mesh)(l, r, seeds)
+    bads = [bad_pixel_rate(
+        np.asarray(d[0, 0], np.float32) / cfg.dis_scale,
+        pair.disp_left, pair.valid_left, 1.0) for d in (dis_k, dis_j)]
+    assert bads[0] < 0.1 and bads[1] < 0.1, bads
+    assert abs(bads[0] - bads[1]) < 0.03, bads
+
+
 def test_pipeline_runs_with_kernel():
     from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
     from crossscalepatchmatch_tpu.data import make_pair
