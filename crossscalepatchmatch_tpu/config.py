@@ -168,6 +168,13 @@ class CSPMConfig:
 README_DEMO = CSPMConfig(max_dis=60, dis_scale=4, cost_method=CostMethod.GRD,
                          use_cs=False, use_pp=False, reg_lambda=0.0)
 
+# KITTI-style high-resolution workload (1242x375, 128 disparities, scored at
+# the 3-px threshold).  The reference never ran KITTI but its BFCA carries a
+# "change BF window size for KITTI" note (ca_filter/BFCA.cpp:9-11); this
+# preset is the engine's high-res configuration.
+KITTI = CSPMConfig(max_dis=128, dis_scale=1, cost_method=CostMethod.GRD,
+                   use_pp=True)
+
 MIDDLEBURY = {
     "tsukuba": CSPMConfig(max_dis=16, dis_scale=16, cost_method=CostMethod.CEN,
                           use_pp=True),

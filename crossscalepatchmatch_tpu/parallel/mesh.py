@@ -33,3 +33,29 @@ def make_mesh(n_data: int = 1, n_ty: Optional[int] = None,
             f"mesh {n_data}x{n_ty} needs more than {len(devices)} devices")
     arr = np.asarray(devices[:n_data * n_ty]).reshape(n_data, n_ty)
     return Mesh(arr, ("data", "ty"))
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Mesh:
+    """Multi-host setup: jax.distributed + a DCN/ICI-aligned (data, ty) mesh.
+
+    Call once per host process before any other jax API.  On TPU pods the
+    arguments are auto-detected from the environment; on CPU/GPU clusters
+    pass them explicitly.  Returns a mesh whose "data" axis spans hosts
+    (batch data-parallelism over DCN -- independent stereo pairs never
+    communicate) and whose "ty" axis stays inside each host's slice so
+    halo ppermutes ride ICI.  Single-process runs (tests, one host) fall
+    through to a local mesh with the same layout.
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1 or (
+            coordinator_address is not None):
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    n_hosts = jax.process_count()
+    local = len(jax.local_devices())
+    # data spans hosts; ty spans each host's local chips
+    return make_mesh(n_data=n_hosts, n_ty=local)
