@@ -149,10 +149,10 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         sy = dy * step
         img_dy = [img_tile[p, mg + sy:mg + sy + th, :] for p in range(3)]
         fy = ys + sy
-        if scale == 0:
-            y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
-        else:
-            y_ok = (fy >= 0) & ((fy >> scale) < hs)
+        # For scale > 0 the caller encodes ((fy + row0) >> s) < hs as the
+        # local fine-row interval [ylo, yhi) = [-row0, (hs << s) - row0):
+        # for integer fy >= ylo the two are equivalent.
+        y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
 
         def dx_loop(vol_dy, d0, nd, img_dy=img_dy, y_ok=y_ok, dy=dy):
             """Accumulate all dx offsets with the tent contracted over
@@ -251,7 +251,8 @@ jax.tree_util.register_pytree_node(
 def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
                     th: int = 64, tw: int = 128, scale: int = 0,
                     fine_hw: tuple | None = None,
-                    rows_extended: bool = False) -> PreparedVolumes:
+                    rows_extended: bool = False,
+                    row0: jax.Array | int = 0) -> PreparedVolumes:
     """Lay out images/volumes for the kernel (pad + D-to-sublane transpose).
 
     For scale > 0 the level-s arrays are nearest-upsampled to the fine grid
@@ -268,6 +269,10 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
       rows_extended: the input rows already carry a half_wnd halo on each
         side (a spatially-sharded caller's ppermute-extended band); only
         valid with scale 0.
+      row0: global fine row of the first output row (scale > 0 only) -- a
+        spatially-sharded caller passes its band offset so the upsampled
+        slices of the replicated level-s arrays cover the band's rows.
+        May be traced (inside shard_map).
     """
     nv, hs, ws, _ = imgs_u8.shape
     d = vols.shape[-1]
@@ -301,7 +306,7 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
         vol_p = jnp.pad(vol_t, ((0, 0), (mg, hp - h - mg), (0, 0),
                                 (mg, wp - w - mg)))
     else:
-        ry = jnp.clip((jnp.arange(hp) - mg) >> scale, 0, hs - 1)
+        ry = jnp.clip((jnp.arange(hp) - mg + row0) >> scale, 0, hs - 1)
         rx = jnp.clip((jnp.arange(wp) - mg) >> scale, 0, ws - 1)
         img_p = jnp.take(jnp.take(img_f, ry, axis=2), rx, axis=3)
         vol_p = jnp.take(jnp.take(vol_t, ry, axis=1), rx, axis=3)
@@ -349,7 +354,10 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
 
     maxc = max_costs.astype(jnp.float32)
     if ybounds is None:
-        ybounds = jnp.array([0, h], jnp.int32)
+        # standalone image: rows [0, h) at scale 0; at scale s rows are
+        # valid while they map to a real level-s row, i.e. [0, hs << s)
+        ybounds = jnp.array([0, h if prep.scale == 0
+                             else prep.hs << prep.scale], jnp.int32)
 
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
@@ -432,8 +440,8 @@ def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
 def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
                                     abc: jax.Array, *, half_wnd: int,
                                     max_dis: int, gamma: float, th: int = 64,
-                                    tw: int = 128, slab: int = 32
-                                    ) -> jax.Array:
+                                    tw: int = 128, slab: int = 32,
+                                    ybounds_s=None) -> jax.Array:
     """Cross-scale aggregated plane cost, fused kernel per level.
 
     sum_s wgt_s * cost_s with the plane re-anchored through the level-s
@@ -445,6 +453,8 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
       max_costs_s[s]: f32[2] per-view per-level saturation values.
       scale_wgts: inter-scale regularization weights (ops.scale_weights).
       abc: f32[2, K, H, W, 3] candidate plane fields.
+      ybounds_s: optional per-scale i32[2] local-row validity intervals
+        (spatially sharded bands); defaults to standalone-image bounds.
 
     Returns:
       f32[2, K, H, W].
@@ -453,8 +463,10 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
     total = None
     md = max_dis
     for s, prep in enumerate(preps):
+        yb = None if ybounds_s is None else ybounds_s[s]
         cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
-                         max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab)
+                         max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab,
+                         ybounds=yb)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2

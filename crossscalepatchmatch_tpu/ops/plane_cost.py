@@ -138,7 +138,7 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
 
 
 def upsample_level(coarse: jax.Array, scale: int, half_wnd: int,
-                   fine_hw: tuple) -> jax.Array:
+                   fine_hw: tuple, row0: jax.Array | int = 0) -> jax.Array:
     """Nearest-neighbor upsample of a level-s array to the fine grid, with a
     half_wnd * 2^s margin on every side for wrap-free window rolls.
 
@@ -148,30 +148,32 @@ def upsample_level(coarse: jax.Array, scale: int, half_wnd: int,
 
     Args:
       coarse: [Hs, Ws, ...] level-s array.
-      fine_hw: (H, W) fine-grid shape.
+      fine_hw: (H, W) fine-grid shape (a spatially-sharded caller passes
+        its band height and the band's global starting row as row0).
 
     Returns:
       [(H + 2M), (W + 2M), ...] with M = half_wnd << scale; position
-      (M + y, M + x) holds coarse[y >> s, x >> s].
+      (M + y, M + x) holds coarse[(row0 + y) >> s, x >> s].
     """
     h, w = fine_hw
     step = 1 << scale
     m = half_wnd * step
     hs, ws = coarse.shape[0], coarse.shape[1]
-    ry = jnp.clip((jnp.arange(-m, h + m)) >> scale, 0, hs - 1)
+    ry = jnp.clip((jnp.arange(-m, h + m) + row0) >> scale, 0, hs - 1)
     rx = jnp.clip((jnp.arange(-m, w + m)) >> scale, 0, ws - 1)
     return jnp.take(jnp.take(coarse, ry, axis=0), rx, axis=1)
 
 
 def upsample_valid(scale: int, half_wnd: int, fine_hw: tuple,
-                   coarse_hw: tuple) -> jax.Array:
+                   coarse_hw: tuple,
+                   row0: jax.Array | int = 0) -> jax.Array:
     """bool[(H+2M), (W+2M)]: padded-fine positions mapping to a real
     level-s pixel (the window-skip condition of pre_cs_pc.cc:152-159)."""
     h, w = fine_hw
     hs, ws = coarse_hw
     step = 1 << scale
     m = half_wnd * step
-    fy = jnp.arange(-m, h + m)
+    fy = jnp.arange(-m, h + m) + row0
     fx = jnp.arange(-m, w + m)
     vy = (fy >= 0) & ((fy >> scale) < hs)
     vx = (fx >= 0) & ((fx >> scale) < ws)

@@ -21,9 +21,13 @@ convention holds everywhere; x coordinates are global (rows are full-width).
 
 Row-local pieces (GRD cost volume build: color diffs + x-Sobel; view
 propagation; refinement; LR check; scanline fill) run unchanged on each
-band.  The census volume build needs a wrap-around row halo and the
-cross-scale path needs replicated coarse levels; both are currently
-restricted to the single-device engine (models.pipeline).
+band.  The census volume build needs global row context (9x9 wrap
+borders) and the cross-scale path needs whole-image pyramids: for those
+the views (~0.5 MB/pair) are all-gathered along "ty" once and the coarse
+per-scale volumes are built replicated on every shard -- the coarse
+levels cost a geometrically decaying fraction of the fine level, so
+sharding them would buy nothing.  On TPU every scale evaluates through
+the fused Pallas window-cost kernel with band-local row-validity bounds.
 """
 
 from __future__ import annotations
@@ -72,9 +76,27 @@ def _extend_planes(abc: jax.Array, halo: int, hs: int) -> jax.Array:
     return jnp.concatenate([top, mid, bot], axis=0)
 
 
+def _band_ext_from_full(full: jax.Array, row0: jax.Array, hs: int,
+                        halo: int) -> jax.Array:
+    """Rows [row0 - halo, row0 + hs + halo) of a replicated full-height
+    array, zero-filled outside the global image (the gather analogue of
+    extend_rows for data every shard holds in full)."""
+    pad = jnp.pad(full, ((halo, halo),) + ((0, 0),) * (full.ndim - 1))
+    return jax.lax.dynamic_slice_in_dim(pad, row0, hs + 2 * halo, axis=0)
+
+
 def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                   cfg: CSPMConfig, n_ty: int) -> jax.Array:
-    """Full pipeline for one pair's local row band [Hs, W, 3] per view."""
+    """Full pipeline for one pair's local row band [Hs, W, 3] per view.
+
+    Data placement: the fine-scale GRD volume is row-local and built on the
+    band; the census volume needs global row context (9x9 wrap borders,
+    cen_cc.cc:30-43) and the cross-scale path needs whole-image pyramids,
+    so for those the (tiny) views are all-gathered along "ty" once and the
+    coarse per-scale volumes are built replicated on every shard -- coarse
+    levels cost a geometrically decaying fraction of the fine level and
+    sharding them would buy nothing (SURVEY.md section 7.8).
+    """
     hs, w, _ = l_loc.shape
     hw = cfg.half_wnd
     far = max(cfg.far_offset, 1)
@@ -82,42 +104,123 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         raise ValueError(f"row band {hs} smaller than halo {max(hw, far)}")
 
     ty = jax.lax.axis_index("ty")
+    row0 = ty * hs
+    h_glob = n_ty * hs
     key = jax.random.fold_in(jax.random.PRNGKey(seed), ty)
+    levels = cfg.scale_num if cfg.use_cs else 1
+    need_full = cfg.use_cs or cfg.cost_method != CostMethod.GRD
 
-    # --- local volumes + global saturation value --------------------------
-    l_rgb, r_rgb = bgr_to_rgb(l_loc), bgr_to_rgb(r_loc)
-    vol_l = build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=False)
-    vol_r = build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=True)
-    vols = jnp.stack([vol_l, vol_r])
     imgs = jnp.stack([l_loc, r_loc])
+    if need_full:
+        full_imgs = jax.lax.all_gather(imgs, "ty", axis=1, tiled=True)
+
+    # --- fine-scale volumes + global saturation value ----------------------
+    if cfg.cost_method == CostMethod.GRD:
+        # row-local build; halos exchanged with ICI neighbors
+        l_rgb, r_rgb = bgr_to_rgb(l_loc), bgr_to_rgb(r_loc)
+        vols = jnp.stack(
+            [build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=False),
+             build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=True)])
+        ext_vols = jax.vmap(lambda x: extend_rows(x, hw))(vols)
+    else:
+        # census: build from the gathered views, slice the band + halo
+        lf, rf = bgr_to_rgb(full_imgs[0]), bgr_to_rgb(full_imgs[1])
+        vols_full = jnp.stack(
+            [build_volume(lf, rf, cfg.max_dis, cfg, right=False),
+             build_volume(lf, rf, cfg.max_dis, cfg, right=True)])
+        ext_vols = jax.vmap(
+            lambda x: _band_ext_from_full(x, row0, hs, hw))(vols_full)
+        vols = ext_vols[:, hw:hw + hs]
     max_cost = jax.lax.pmax(jnp.max(vols, axis=(1, 2, 3)), "ty")  # [2]
 
     # --- static halos: image + volume, and row validity -------------------
     ext_imgs = jax.vmap(lambda x: extend_rows(x, hw))(imgs)
-    ext_vols = jax.vmap(lambda x: extend_rows(x, hw))(vols)
-    g_row = ty * hs + jnp.arange(-hw, hs + hw)
-    row_valid = (g_row >= 0) & (g_row < n_ty * hs)
+    g_row = row0 + jnp.arange(-hw, hs + hw)
+    row_valid = (g_row >= 0) & (g_row < h_glob)
+
+    # --- coarse scales: replicated pyramids + volumes ----------------------
+    if cfg.use_cs:
+        from ..ops.pyramid import build_pyramid
+        from ..ops.scale_weights import scale_weights
+
+        l_pyr = build_pyramid(full_imgs[0], levels)
+        r_pyr = build_pyramid(full_imgs[1], levels)
+        wgts = tuple(float(x) for x in
+                     scale_weights(levels, cfg.reg_lambda))
+        coarse_imgs, coarse_vols, coarse_mcs = [], [], []
+        md = cfg.max_dis
+        for s in range(1, levels):
+            md //= 2
+            ls, rs = bgr_to_rgb(l_pyr[s]), bgr_to_rgb(r_pyr[s])
+            v_s = jnp.stack([build_volume(ls, rs, md, cfg, right=False),
+                             build_volume(ls, rs, md, cfg, right=True)])
+            coarse_imgs.append(jnp.stack([l_pyr[s], r_pyr[s]]))
+            coarse_vols.append(v_s)
+            coarse_mcs.append(jnp.max(v_s, axis=(1, 2, 3)))
 
     if cfg.use_pallas and jax.default_backend() == "tpu":
         # Fused kernel on the band: neighbor-halo rows are valid image
         # rows, rows past the global border are not -- expressed as the
         # [ylo, yhi) local-row interval scalar-prefetched into the kernel.
-        from ..ops.pallas.window_cost import (prepare_volumes,
-                                              window_plane_cost_prepared)
-        prep = prepare_volumes(ext_imgs, ext_vols, half_wnd=hw,
-                               rows_extended=True)
-        ybounds = jnp.stack([-ty * hs, (n_ty - ty) * hs]).astype(jnp.int32)
+        from ..ops.pallas.window_cost import (
+            cross_scale_plane_cost_prepared, prepare_volumes,
+            window_plane_cost_prepared)
+        prep0 = prepare_volumes(ext_imgs, ext_vols, half_wnd=hw,
+                                rows_extended=True)
+        yb0 = jnp.stack([-row0, h_glob - row0]).astype(jnp.int32)
+        if cfg.use_cs:
+            preps = [prep0]
+            ybounds_s = [yb0]
+            mcs = [max_cost]
+            for s in range(1, levels):
+                preps.append(prepare_volumes(
+                    coarse_imgs[s - 1], coarse_vols[s - 1], half_wnd=hw,
+                    scale=s, fine_hw=(hs, w), row0=row0))
+                hs_s = coarse_imgs[s - 1].shape[1]
+                ybounds_s.append(
+                    jnp.stack([-row0, (hs_s << s) - row0]).astype(jnp.int32))
+                mcs.append(coarse_mcs[s - 1])
 
-        def cost_fn(abc2: jax.Array) -> jax.Array:
-            return window_plane_cost_prepared(
-                prep, max_cost, abc2, half_wnd=hw, max_dis=cfg.max_dis,
-                gamma=cfg.wgt_gamma, ybounds=ybounds)
+            def cost_fn(abc2: jax.Array) -> jax.Array:
+                return cross_scale_plane_cost_prepared(
+                    preps, mcs, wgts, abc2, half_wnd=hw,
+                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                    ybounds_s=ybounds_s)
+        else:
+            def cost_fn(abc2: jax.Array) -> jax.Array:
+                return window_plane_cost_prepared(
+                    prep0, max_cost, abc2, half_wnd=hw,
+                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0)
     else:
+        from ..ops.plane_cost import (upsample_level, upsample_valid,
+                                      window_plane_cost_upsampled)
+
         def cost_fn(abc2: jax.Array) -> jax.Array:
             fn = functools.partial(window_plane_cost, half_wnd=hw,
                                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                                    center_row0=hw, row_valid=row_valid)
-            return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
+            total = jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
+            if not cfg.use_cs:
+                return total
+            total = jnp.float32(wgts[0]) * total
+            md = cfg.max_dis
+            for s in range(1, levels):
+                md //= 2
+
+                def per_view(img_s, vol_s, mc_s, abc, s=s, md=md):
+                    iu = upsample_level(img_s, s, hw, (hs, w), row0)
+                    vu = upsample_level(vol_s, s, hw, (hs, w), row0)
+                    valid = upsample_valid(s, hw, (hs, w),
+                                           img_s.shape[:2], row0)
+                    return window_plane_cost_upsampled(
+                        iu, vu, valid, mc_s, abc, scale=s, half_wnd=hw,
+                        max_dis_s=md, gamma=cfg.wgt_gamma)
+
+                cost_s = jax.vmap(per_view)(
+                    coarse_imgs[s - 1], coarse_vols[s - 1],
+                    coarse_mcs[s - 1], abc2)
+                total = total + jnp.float32(wgts[s]) * cost_s
+            return total
 
     # --- optimizer --------------------------------------------------------
     k_init, k_loop = jax.random.split(key)
@@ -163,9 +266,11 @@ def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
     Returns:
       u8[B, 2, H, W] scaled disparity maps.
     """
-    if cfg.use_cs or cfg.cost_method != CostMethod.GRD:
+    from ..config import Aggregator
+    if cfg.aggregator != Aggregator.NONE or not cfg.precompute_volume:
         raise NotImplementedError(
-            "sharded path currently supports single-scale GRD")
+            "sharded path supports precomputed GRD/CEN volumes without "
+            "per-slice aggregation filters")
     n_ty = mesh.shape["ty"]
 
     # check_vma=False: pallas_call outputs carry no varying-axes metadata,

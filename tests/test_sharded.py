@@ -10,6 +10,7 @@ from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
 from crossscalepatchmatch_tpu.data import make_pair
 from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
 from crossscalepatchmatch_tpu.parallel.mesh import make_mesh
+from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
 from crossscalepatchmatch_tpu.parallel.tiled import (
     extend_rows, jit_run_batch_sharded)
 
@@ -94,9 +95,39 @@ class TestShardedPipeline:
         bad_all = bad_pixel_rate(disp, pair.disp_left, None, 1.0)
         assert bad_all < 0.3
 
+    def test_census_sharded_matches_single_device_quality(self):
+        pair = make_pair(h=48, w=64, max_dis=8, seed=6)
+        cfg = small_cfg(max_dis=8, cost_method=CostMethod.CEN)
+        mesh = make_mesh(1, 4)
+        dis = np.asarray(jit_run_batch_sharded(cfg, mesh)(
+            jnp.asarray(pair.left)[None], jnp.asarray(pair.right)[None],
+            jnp.zeros((1,), jnp.int32)))
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        single = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp_s = single["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < max(2.0 * bad_s, 0.12), (bad, bad_s)
+
+    def test_cross_scale_sharded_matches_single_device_quality(self):
+        pair = make_pair(h=48, w=64, max_dis=8, seed=7)
+        cfg = small_cfg(max_dis=8, use_cs=True, scale_num=2,
+                        reg_lambda=0.3)
+        mesh = make_mesh(1, 4)
+        dis = np.asarray(jit_run_batch_sharded(cfg, mesh)(
+            jnp.asarray(pair.left)[None], jnp.asarray(pair.right)[None],
+            jnp.zeros((1,), jnp.int32)))
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        single = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp_s = single["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < max(2.0 * bad_s, 0.12), (bad, bad_s)
+
     def test_rejects_unsupported_configs(self):
         mesh = make_mesh(1, 8)
-        cfg = small_cfg(cost_method=CostMethod.CEN)
+        from crossscalepatchmatch_tpu.config import Aggregator
+        cfg = small_cfg(aggregator=Aggregator.BOX)
         with pytest.raises(NotImplementedError):
             jit_run_batch_sharded(cfg, mesh)(
                 jnp.zeros((1, 64, 64, 3), jnp.uint8),

@@ -181,6 +181,36 @@ def test_sharded_kernel_matches_sharded_jnp_quality():
     assert abs(bads[0] - bads[1]) < 0.03, bads
 
 
+def test_sharded_kernel_census_cross_scale():
+    """CEN + use_cs through the sharded path with per-scale fused kernels
+    (replicated coarse levels, band-local fine level)."""
+    from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+    from crossscalepatchmatch_tpu.parallel.mesh import make_mesh
+    from crossscalepatchmatch_tpu.parallel.tiled import jit_run_batch_sharded
+
+    mesh = make_mesh(1, 1)
+    cfg = CSPMConfig(max_dis=16, dis_scale=8, wnd_size=19, max_iter=2,
+                     cost_method=CostMethod.CEN, use_cs=True, scale_num=3,
+                     reg_lambda=0.3)
+    from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
+
+    pair = make_pair(h=96, w=128, max_dis=16, seed=2)
+    dis = jit_run_batch_sharded(cfg, mesh)(
+        jnp.asarray(pair.left)[None], jnp.asarray(pair.right)[None],
+        jnp.zeros((1,), jnp.int32))
+    disp = np.asarray(dis[0, 0], np.float32) / cfg.dis_scale
+    bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+    # compare against the single-device engine on the same config (this
+    # 2-iteration CEN+CS config lands around 0.15 either way; the
+    # assertion is equivalence, not absolute quality)
+    single = run_pair_np(pair.left, pair.right, cfg, seed=0)
+    disp_s = single["dis"][0].astype(np.float32) / cfg.dis_scale
+    bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
+    assert bad < bad_s + 0.03, (bad, bad_s)
+
+
 def test_pipeline_runs_with_kernel():
     from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
     from crossscalepatchmatch_tpu.data import make_pair
