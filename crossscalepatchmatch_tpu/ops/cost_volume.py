@@ -57,8 +57,10 @@ def build_volume(l_rgb_u8: jax.Array, r_rgb_u8: jax.Array, max_dis: int,
     raise ValueError(f"unknown cost method {cfg.cost_method}")
 
 
-def _aggregate(vol: jax.Array, guide_u8: jax.Array,
-               cfg: CSPMConfig) -> jax.Array:
+def aggregate_volume(vol: jax.Array, guide_u8: jax.Array,
+                     cfg: CSPMConfig) -> jax.Array:
+    """Apply the configured per-slice aggregation filter (ca_method.h
+    capability surface) to one view's cost volume."""
     if cfg.aggregator == Aggregator.NONE:
         return vol
     from . import filters  # local import to avoid cycles
@@ -95,8 +97,8 @@ def build_volume_data(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array,
         r_rgb = bgr_to_rgb(r_pyr[s])
         vol_l = build_volume(l_rgb, r_rgb, md, cfg, right=False)
         vol_r = build_volume(l_rgb, r_rgb, md, cfg, right=True)
-        vol_l = _aggregate(vol_l, l_pyr[s], cfg)
-        vol_r = _aggregate(vol_r, r_pyr[s], cfg)
+        vol_l = aggregate_volume(vol_l, l_pyr[s], cfg)
+        vol_r = aggregate_volume(vol_r, r_pyr[s], cfg)
         imgs.append(jnp.stack([l_pyr[s], r_pyr[s]]))
         vols.append(jnp.stack([vol_l, vol_r]))
         max_costs.append(jnp.stack([jnp.max(vol_l), jnp.max(vol_r)]))

@@ -108,14 +108,19 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     h_glob = n_ty * hs
     key = jax.random.fold_in(jax.random.PRNGKey(seed), ty)
     levels = cfg.scale_num if cfg.use_cs else 1
-    need_full = cfg.use_cs or cfg.cost_method != CostMethod.GRD
+    from ..config import Aggregator
+    from ..ops.cost_volume import aggregate_volume
+    aggregated = cfg.aggregator != Aggregator.NONE
+    # aggregation filters span rows, so they also need the full views
+    need_full = (cfg.use_cs or cfg.cost_method != CostMethod.GRD
+                 or aggregated)
 
     imgs = jnp.stack([l_loc, r_loc])
     if need_full:
         full_imgs = jax.lax.all_gather(imgs, "ty", axis=1, tiled=True)
 
     # --- fine-scale volumes + global saturation value ----------------------
-    if cfg.cost_method == CostMethod.GRD:
+    if cfg.cost_method == CostMethod.GRD and not aggregated:
         # row-local build; halos exchanged with ICI neighbors
         l_rgb, r_rgb = bgr_to_rgb(l_loc), bgr_to_rgb(r_loc)
         vols = jnp.stack(
@@ -123,11 +128,14 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
              build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=True)])
         ext_vols = jax.vmap(lambda x: extend_rows(x, hw))(vols)
     else:
-        # census: build from the gathered views, slice the band + halo
+        # census wraps at global borders and aggregation filters span
+        # rows: build from the gathered views, slice the band + halo
         lf, rf = bgr_to_rgb(full_imgs[0]), bgr_to_rgb(full_imgs[1])
-        vols_full = jnp.stack(
-            [build_volume(lf, rf, cfg.max_dis, cfg, right=False),
-             build_volume(lf, rf, cfg.max_dis, cfg, right=True)])
+        vl = build_volume(lf, rf, cfg.max_dis, cfg, right=False)
+        vr = build_volume(lf, rf, cfg.max_dis, cfg, right=True)
+        vl = aggregate_volume(vl, full_imgs[0], cfg)
+        vr = aggregate_volume(vr, full_imgs[1], cfg)
+        vols_full = jnp.stack([vl, vr])
         ext_vols = jax.vmap(
             lambda x: _band_ext_from_full(x, row0, hs, hw))(vols_full)
         vols = ext_vols[:, hw:hw + hs]
@@ -152,8 +160,11 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         for s in range(1, levels):
             md //= 2
             ls, rs = bgr_to_rgb(l_pyr[s]), bgr_to_rgb(r_pyr[s])
-            v_s = jnp.stack([build_volume(ls, rs, md, cfg, right=False),
-                             build_volume(ls, rs, md, cfg, right=True)])
+            v_s = jnp.stack(
+                [aggregate_volume(build_volume(ls, rs, md, cfg, right=False),
+                                  l_pyr[s], cfg),
+                 aggregate_volume(build_volume(ls, rs, md, cfg, right=True),
+                                  r_pyr[s], cfg)])
             coarse_imgs.append(jnp.stack([l_pyr[s], r_pyr[s]]))
             coarse_vols.append(v_s)
             coarse_mcs.append(jnp.max(v_s, axis=(1, 2, 3)))
@@ -266,11 +277,10 @@ def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
     Returns:
       u8[B, 2, H, W] scaled disparity maps.
     """
-    from ..config import Aggregator
-    if cfg.aggregator != Aggregator.NONE or not cfg.precompute_volume:
+    if not cfg.precompute_volume:
         raise NotImplementedError(
-            "sharded path supports precomputed GRD/CEN volumes without "
-            "per-slice aggregation filters")
+            "sharded path supports precomputed volumes only (the "
+            "on-the-fly GrdPC/CSPC cost is single-device)")
     n_ty = mesh.shape["ty"]
 
     # check_vma=False: pallas_call outputs carry no varying-axes metadata,

@@ -124,10 +124,28 @@ class TestShardedPipeline:
         bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
         assert bad < max(2.0 * bad_s, 0.12), (bad, bad_s)
 
+    def test_aggregator_sharded_matches_single_device(self):
+        # equivalence check only: box pre-aggregation composed with the
+        # 11x11 ASW window double-smooths and is genuinely poor on this
+        # tiny scene (~0.62 bad either way); the sharded path must simply
+        # reproduce the single-device behavior of the same config
+        from crossscalepatchmatch_tpu.config import Aggregator
+        pair = make_pair(h=32, w=48, max_dis=8, seed=8)
+        cfg = small_cfg(max_dis=8, aggregator=Aggregator.BOX)
+        mesh = make_mesh(1, 4)
+        dis = np.asarray(jit_run_batch_sharded(cfg, mesh)(
+            jnp.asarray(pair.left)[None], jnp.asarray(pair.right)[None],
+            jnp.zeros((1,), jnp.int32)))
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        single = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp_s = single["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
+        assert abs(bad - bad_s) < 0.15, (bad, bad_s)
+
     def test_rejects_unsupported_configs(self):
         mesh = make_mesh(1, 8)
-        from crossscalepatchmatch_tpu.config import Aggregator
-        cfg = small_cfg(aggregator=Aggregator.BOX)
+        cfg = small_cfg(precompute_volume=False)
         with pytest.raises(NotImplementedError):
             jit_run_batch_sharded(cfg, mesh)(
                 jnp.zeros((1, 64, 64, 3), jnp.uint8),
