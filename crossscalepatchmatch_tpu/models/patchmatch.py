@@ -10,7 +10,8 @@ TPU restructuring (SURVEY.md section 7):
     raster scan -- each pixel consumes the already-updated previous neighbor.
     Here it becomes dense synchronous sweeps: every pixel evaluates the planes
     of a static stencil of neighbors (4-adjacent plus Gipuma-style far
-    candidates at +-far_offset) from the previous sweep and adopts the argmin.
+    candidates at the +-far_offsets ladder) from the previous sweep and
+    adopts the argmin.
     Per dense evaluation this propagates information one stencil hop for every
     pixel at full utilization, which matches red-black checkerboarding's
     hops-per-evaluation on hardware that cannot skip the inactive half.
@@ -175,19 +176,24 @@ def _adopt(state: PMState, cand_abc: jax.Array,
         cost=jnp.where(improve, best_cost, state.cost))
 
 
-def _stencil(cfg: CSPMConfig) -> List[Tuple[int, int]]:
+def _stencil(cfg: CSPMConfig, sweep: int = 0) -> List[Tuple[int, int]]:
+    """Candidate offsets for one sweep: the 4-adjacent ring plus one far
+    ring.  With several far_offsets, consecutive sweeps cycle through the
+    rings (sweep 0 -> offsets[0], sweep 1 -> offsets[1], ...), so a
+    2-sweep iteration with (5, 25) reaches ~30 px per iteration at the
+    same K=8 evaluation cost as a single-ring stencil."""
     offsets = [(0, 1), (0, -1), (1, 0), (-1, 0)]
-    if cfg.far_offset > 0:
-        f = cfg.far_offset
+    if cfg.far_offsets:
+        f = cfg.far_offsets[sweep % len(cfg.far_offsets)]
         offsets += [(0, f), (0, -f), (f, 0), (-f, 0)]
     return offsets
 
 
-def spatial_sweep(state: PMState, cost_fn: CostFn,
-                  cfg: CSPMConfig) -> PMState:
+def spatial_sweep(state: PMState, cost_fn: CostFn, cfg: CSPMConfig,
+                  sweep: int = 0) -> PMState:
     """One dense propagation sweep: every pixel tests its stencil's planes."""
     cands = [jnp.roll(state.abc, (dy, dx), axis=(1, 2))
-             for dy, dx in _stencil(cfg)]
+             for dy, dx in _stencil(cfg, sweep)]
     cand_abc = jnp.stack(cands, axis=1)          # [2, K, H, W, 3]
     cand_cost = cost_fn(cand_abc)
     return _adopt(state, cand_abc, cand_cost)
@@ -283,8 +289,8 @@ def iteration_step(state: PMState, key: jax.Array, cost_fn: CostFn,
                    cfg: CSPMConfig) -> PMState:
     """One outer PatchMatch iteration: propagation sweeps, view
     propagation, refinement (the loop body of cs_patchmatch.cc:61-99)."""
-    for _ in range(cfg.prop_sweeps):
-        state = spatial_sweep(state, cost_fn, cfg)
+    for i in range(cfg.prop_sweeps):
+        state = spatial_sweep(state, cost_fn, cfg, sweep=i)
     state = view_propagation(state, cost_fn, cfg)
     state = plane_refinement(state, key, cost_fn, cfg)
     return state

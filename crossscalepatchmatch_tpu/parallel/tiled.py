@@ -8,7 +8,7 @@ Sharding layout (SURVEY.md sections 2.3/5):
     exchange over ICI neighbors via lax.ppermute:
       - image + cost-volume halos: half_wnd (17 for wnd=35) rows, exchanged
         once after the volume build;
-      - plane-state halos: max(far_offset, 1) rows, exchanged before every
+      - plane-state halos: max(far_offsets) rows, exchanged before every
         propagation sweep;
       - disparity/validity/image halos for the weighted-median, once.
   * Both views of a pair live on the same shard: view propagation and the
@@ -99,7 +99,14 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     """
     hs, w, _ = l_loc.shape
     hw = cfg.half_wnd
-    far = max(cfg.far_offset, 1)
+    # A far ring's plane halo comes from the immediate ty neighbor, so
+    # rings taller than the band are dropped on this mesh (their reach
+    # exceeds what one ppermute can deliver); the cycling stencil then
+    # cycles through the kept rings only.
+    import dataclasses
+    rings = tuple(f for f in cfg.far_offsets if f <= hs)
+    sweep_cfg = dataclasses.replace(cfg, far_offsets=rings)
+    far = max(max(rings, default=0), 1)
     if hs < max(hw, far):
         raise ValueError(f"row band {hs} smaller than halo {max(hw, far)}")
 
@@ -237,16 +244,16 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     k_init, k_loop = jax.random.split(key)
     state = pm.init_state(k_init, (hs, w), cost_fn, cfg)
 
-    def sweep(state: pm.PMState) -> pm.PMState:
+    def sweep(state: pm.PMState, i: int) -> pm.PMState:
         ext_abc = jax.vmap(lambda a: _extend_planes(a, far, hs))(state.abc)
         cands = [jnp.roll(ext_abc, (dy, dx), axis=(1, 2))[:, far:far + hs]
-                 for dy, dx in pm._stencil(cfg)]
+                 for dy, dx in pm._stencil(sweep_cfg, i)]
         cand_abc = jnp.stack(cands, axis=1)
         return pm._adopt(state, cand_abc, cost_fn(cand_abc))
 
     def iteration(state, it_key):
-        for _ in range(cfg.prop_sweeps):
-            state = sweep(state)
+        for i in range(cfg.prop_sweeps):
+            state = sweep(state, i)
         state = pm.view_propagation(state, cost_fn, cfg)
         state = pm.plane_refinement(state, it_key, cost_fn, cfg)
         return state, None

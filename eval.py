@@ -1,0 +1,108 @@
+"""Accuracy-parity evaluation: the TPU engine vs the reference oracle.
+
+Runs the reference's canonical config matrix (CSPM/input.txt:1-20 --
+Middlebury pairs with CEN + post-processing, plus the README GRD demo)
+on synthetic ground-truth scenes and scores both the native CPU oracle
+(csrc/cspm_oracle.cc, reference semantics) and the TPU engine with the
+Middlebury bad-pixel metric.  The BASELINE.json target is a <= 0.5%
+(0.005) bad-pixel delta between the two.
+
+Real Middlebury images cannot be redistributed in this repo and the build
+host has no egress, so the scenes are procedurally generated
+(crossscalepatchmatch_tpu.data.make_pair) at geometry proportional to
+each config's disparity range.  Scene sizes are chosen so the O(75 * 1225
+* H * W) oracle finishes in seconds per config.
+
+Usage:  python eval.py [--quick]
+Prints one row per config and a JSON summary line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+# (name, scene h, scene w, max_dis, dis_scale, cc, use_cs, use_pp)
+# max_dis/dis_scale/cc/pp follow input.txt; scenes are scaled-down
+# synthetic stand-ins with matching disparity ranges.  Scenes are kept
+# large relative to the 35-px ASW window (on ~100-px images the window
+# covers a third of the scene and both implementations degrade).
+CONFIGS = [
+    ("readme_demo_grd", 192, 256, 16, 8, "GRD", False, False),
+    ("tsukuba_cen_pp", 192, 256, 16, 16, "CEN", False, True),
+    ("venus_cen_pp", 192, 256, 20, 8, "CEN", False, True),
+    ("cones_cen_pp", 160, 224, 24, 4, "CEN", False, True),
+    ("teddy_cen_cs_pp", 160, 224, 24, 4, "CEN", True, True),
+]
+QUICK = CONFIGS[:2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="first two configs only")
+    ap.add_argument("--seeds", type=int, default=2,
+                    help="engine seeds per config (oracle runs seed 0)")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from crossscalepatchmatch_tpu import CSPMConfig, CostMethod, oracle
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+    from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
+
+    rows = []
+    for (name, h, w, max_dis, dis_scale, cc, use_cs,
+         use_pp) in (QUICK if args.quick else CONFIGS):
+        pair = make_pair(h=h, w=w, max_dis=max_dis, seed=hash(name) % 1000)
+        scale_num = 3 if use_cs else 5   # small scenes: 3 usable levels
+        reg_lambda = 0.3 if use_cs else 0.0
+
+        t0 = time.perf_counter()
+        dis_o = oracle.run_pair(
+            pair.left, pair.right, max_dis=max_dis, dis_scale=dis_scale,
+            cc_name=cc, use_cs=use_cs, use_pp=use_pp,
+            reg_lambda=reg_lambda, scale_num=scale_num, seed=0)
+        t_oracle = time.perf_counter() - t0
+        bad_o = bad_pixel_rate(
+            np.asarray(dis_o[0], np.float32) / dis_scale,
+            pair.disp_left, pair.valid_left, 1.0)
+
+        cfg = CSPMConfig(max_dis=max_dis, dis_scale=dis_scale,
+                         cost_method=CostMethod[cc], use_cs=use_cs,
+                         use_pp=use_pp, reg_lambda=reg_lambda,
+                         scale_num=scale_num)
+        bads, t_engine = [], 0.0
+        for seed in range(args.seeds):
+            t0 = time.perf_counter()
+            out = run_pair_np(pair.left, pair.right, cfg, seed=seed)
+            t_engine = time.perf_counter() - t0   # last run (warm)
+            bads.append(bad_pixel_rate(
+                out["dis"][0].astype(np.float32) / dis_scale,
+                pair.disp_left, pair.valid_left, 1.0))
+        bad_e = float(np.mean(bads))
+        delta = bad_e - bad_o
+        ok = delta <= 0.005
+        rows.append(dict(config=name, bad_oracle=round(bad_o, 4),
+                         bad_engine=round(bad_e, 4),
+                         delta=round(delta, 4), within_bound=ok,
+                         t_oracle_s=round(t_oracle, 1),
+                         t_engine_s=round(t_engine, 2)))
+        print(f"{name:22s} oracle {bad_o:.4f} ({t_oracle:5.1f}s)  "
+              f"engine {bad_e:.4f} ({t_engine:5.2f}s)  "
+              f"delta {delta:+.4f}  {'OK' if ok else 'OVER'}",
+              file=sys.stderr, flush=True)
+
+    worst = max(r["delta"] for r in rows)
+    print(json.dumps({"metric": "bad_pixel_delta_vs_oracle_worst",
+                      "value": round(worst, 4), "bound": 0.005,
+                      "rows": rows}))
+    return 0 if worst <= 0.005 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
