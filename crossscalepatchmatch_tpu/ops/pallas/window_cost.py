@@ -48,9 +48,8 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             img_tile, vol_tile, sems,
             *, hb: int, wnd: int, th: int, tw: int, dpad: int,
-            max_dis: int, gamma: float, h: int, w: int, k: int,
-            scale: int = 0, hs: int | None = None, ws: int | None = None,
-            slab: int = 0):
+            max_dis: int, gamma: float, k: int,
+            scale: int = 0, ws: int = 0, slab: int = 0):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -89,8 +88,6 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     it falls back to the full contraction.  Early (random-init) evaluations
     mostly take the full path; converged plane fields mostly take the slab.
     """
-    if hs is None:
-        hs, ws = h, w
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
     v = pl.program_id(0)
@@ -361,8 +358,8 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
 
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
-        max_dis=max_dis_s, gamma=gamma, h=h, w=w, k=k,
-        scale=prep.scale, hs=prep.hs, ws=prep.ws, slab=slab)
+        max_dis=max_dis_s, gamma=gamma, k=k,
+        scale=prep.scale, ws=prep.ws, slab=slab)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -36,6 +36,7 @@ CONFIGS = [
     ("venus_cen_pp", 192, 256, 20, 8, "CEN", False, True),
     ("cones_cen_pp", 160, 224, 24, 4, "CEN", False, True),
     ("teddy_cen_cs_pp", 160, 224, 24, 4, "CEN", True, True),
+    ("reindeer_cen_pp", 192, 416, 80, 3, "CEN", False, True),
 ]
 QUICK = CONFIGS[:2]
 
