@@ -83,9 +83,12 @@ def main():
 
     iters = 3
     t0 = time.perf_counter()
+    sink = 0
     for i in range(1, iters + 1):
         out = run_pair(l, r, jnp.int32(i), cfg)
-    jax.block_until_ready(out)
+        # force host materialization: block_until_ready can return early
+        # through the axon device tunnel, np.asarray cannot
+        sink += int(np.asarray(out["dis"]).sum())
     dt = (time.perf_counter() - t0) / iters
     pairs_per_s = 1.0 / dt
 

@@ -109,7 +109,10 @@ class CSPMConfig:
     # True: precomputed cost volumes (PreSSPC/PreCSPC, the reference main()'s
     # only path, main.cc:97-114).  False: on-the-fly TAD color+gradient
     # against the sub-pixel warped other view (GrdPC/CSPC capability
-    # surface); requires cost_method=GRD.
+    # surface -- in the reference these classes are compiled but unreachable
+    # from main()); requires cost_method=GRD.  The on-the-fly path is a
+    # CPU/parity implementation (per-pixel warp gathers serialize on
+    # XLA:TPU); production TPU runs use the precomputed path.
     precompute_volume: bool = True
 
     # --- numerics / runtime ------------------------------------------------
