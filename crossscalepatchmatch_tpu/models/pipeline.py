@@ -62,3 +62,69 @@ def run_pair_np(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, seed: int = 0):
     out = run_pair(jnp.asarray(l_bgr_u8), jnp.asarray(r_bgr_u8),
                    jnp.int32(seed), cfg)
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "warm_iters"))
+def run_pair_warm(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
+                  init_abc: jax.Array, cfg: CSPMConfig,
+                  warm_iters: int = 1) -> Dict[str, jax.Array]:
+    """run_pair initialized from a prior solution's plane field.
+
+    The serving mode for video / sequence stereo (no reference
+    counterpart -- the reference restarts from random planes every frame,
+    cs_patchmatch.cc:115-148): the previous frame's converged plane field
+    seeds the optimizer, whose costs are re-evaluated against the NEW
+    frame's volumes, and only `warm_iters` outer iterations run instead of
+    cfg.max_iter.  Converged fields keep per-tile disparity spans narrow,
+    so the fused kernel's disparity-slab fast path engages from the first
+    sweep (ops.pallas.window_cost).
+
+    Args:
+      init_abc: f32[2, H, W, 3] plane field, e.g. run_pair's "abc" output
+        for the previous frame.
+
+    Returns: same dict as run_pair.
+    """
+    h, w, _ = l_bgr_u8.shape
+    if cfg.precompute_volume:
+        vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
+        cost_fn = pm.make_cost_fn(cfg, vd)
+        pp_imgs = vd.imgs[0]
+    else:
+        cost_fn = pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8)
+        pp_imgs = jnp.stack([l_bgr_u8, r_bgr_u8])
+    state = pm.PMState(abc=init_abc, cost=cost_fn(init_abc[:, None])[:, 0])
+    keys = jax.random.split(jax.random.PRNGKey(seed), warm_iters)
+    state, _ = jax.lax.scan(
+        lambda st, k: (pm.iteration_step(st, k, cost_fn, cfg), None),
+        state, keys)
+    dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
+    if cfg.use_pp:
+        dis, valid = postprocess(dis, state.abc, pp_imgs, cfg)
+    else:
+        valid = jnp.ones((2, h, w), bool)
+    return {"dis": dis, "abc": state.abc, "cost": state.cost, "valid": valid}
+
+
+def run_sequence_np(frames, cfg: CSPMConfig, seed: int = 0,
+                    warm_iters: int = 1):
+    """Sequence stereo: cold-start the first pair, warm-start the rest.
+
+    Args:
+      frames: iterable of (left u8[H,W,3], right u8[H,W,3]) pairs.
+
+    Yields one run_pair-style NumPy dict per frame.
+    """
+    import numpy as np
+
+    abc = None
+    for i, (l, r) in enumerate(frames):
+        if abc is None:
+            out = run_pair(jnp.asarray(l), jnp.asarray(r),
+                           jnp.int32(seed), cfg)
+        else:
+            out = run_pair_warm(jnp.asarray(l), jnp.asarray(r),
+                                jnp.int32(seed + i), abc, cfg,
+                                warm_iters=warm_iters)
+        abc = out["abc"]
+        yield {k: np.asarray(v) for k, v in out.items()}

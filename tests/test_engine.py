@@ -147,3 +147,35 @@ class TestAdopt:
         assert np.asarray(out.abc)[0, 0, 0, 0] == 1.0
         assert np.asarray(out.cost)[0, 0, 0] == 4.0
         assert np.asarray(out.cost)[1, 0, 0] == 5.0
+
+
+class TestWarmStart:
+    def test_sequence_warm_start_holds_quality(self):
+        from crossscalepatchmatch_tpu.models.pipeline import run_sequence_np
+
+        pair = make_pair(**SMALL)
+        cfg = small_cfg(max_iter=2)
+        # static scene "video": warm frames hold the cold frame's quality
+        # (total cost is monotone under strict-improvement adoption; the
+        # bad-pixel rate may wiggle within noise)
+        frames = [(pair.left, pair.right)] * 3
+        bads = []
+        for out in run_sequence_np(frames, cfg, seed=0, warm_iters=1):
+            disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+            bads.append(bad_pixel_rate(disp, pair.disp_left,
+                                       pair.valid_left, 1.0))
+        assert bads[1] <= bads[0] + 0.005, bads
+        assert bads[2] <= bads[0] + 0.005, bads
+
+    def test_warm_start_cost_never_worse(self):
+        from crossscalepatchmatch_tpu.models.pipeline import (run_pair_np,
+                                                              run_pair_warm)
+
+        pair = make_pair(**SMALL)
+        cfg = small_cfg(max_iter=2)
+        cold = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        warm = run_pair_warm(jnp.asarray(pair.left), jnp.asarray(pair.right),
+                             jnp.int32(1), jnp.asarray(cold["abc"]), cfg,
+                             warm_iters=1)
+        # strict-improvement adoption: total cost is monotone per pixel
+        assert (np.asarray(warm["cost"]) <= cold["cost"] + 1e-5).all()
