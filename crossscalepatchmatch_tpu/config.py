@@ -119,6 +119,9 @@ class CSPMConfig:
     seed: int = 0
     eps: float = 1e-8           # kDoubleEps analogue (commfunc.h:25)
     use_pallas: bool = True     # use the fused Pallas window-cost kernel on TPU
+    # Disparity-slab width for the kernel's fast path (multiple of 8;
+    # 0 disables).  See ops.pallas.window_cost._kernel.
+    pallas_slab: int = 32
 
     def __post_init__(self):
         if self.wnd_size % 2 != 1:

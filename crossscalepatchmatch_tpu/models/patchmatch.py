@@ -118,7 +118,8 @@ def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
         def cost_fn(abc2: jax.Array) -> jax.Array:
             return window_plane_cost_prepared(
                 prep, max_costs, abc2, half_wnd=cfg.half_wnd,
-                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                slab=cfg.pallas_slab)
 
         return cost_fn
     if _pallas_enabled(cfg) and cfg.use_cs:
@@ -132,7 +133,8 @@ def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
         def cost_fn(abc2: jax.Array) -> jax.Array:
             return cross_scale_plane_cost_prepared(
                 preps, max_costs_s, wgts, abc2, half_wnd=cfg.half_wnd,
-                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                slab=cfg.pallas_slab)
 
         return cost_fn
     if cfg.use_cs:

@@ -128,15 +128,9 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
 
     use_slab = 0 < slab < dpad
     if use_slab:
-        # Per-candidate tile bounds of d_center, b, and |a| (the dx span is
-        # symmetric), feeding the per-dy dq interval below.
-        p0mn = [jnp.min(params[kk][0]) for kk in range(k)]
-        p0mx = [jnp.max(params[kk][0]) for kk in range(k)]
-        a_abs = [jnp.maximum(jnp.abs(jnp.min(params[kk][1])),
-                             jnp.abs(jnp.max(params[kk][1])))
-                 for kk in range(k)]
-        bmn = [jnp.min(params[kk][2]) for kk in range(k)]
-        bmx = [jnp.max(params[kk][2]) for kk in range(k)]
+        # Per-candidate per-pixel |a|*hb (the symmetric dx span), feeding
+        # the per-dy dq intervals below.
+        ahb = [jnp.abs(params[kk][1]) * jnp.float32(hb) for kk in range(k)]
 
     # Mosaic cannot form vector loads at traced lane offsets, so the row
     # offset dy is a static unroll (unaligned static slices are fine) and
@@ -191,25 +185,33 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                     dpad)
             continue
 
-        # dq interval over the tile, all dx in [-hb, hb], and all K.
+        # Per-pixel dq interval over this dy and all dx in [-hb, hb],
+        # clipped to the volume's relevant range (tent mass exists only
+        # for dq in (-1, dpad); a pixel entirely outside it takes the
+        # saturation branch, so its wild plane must not widen the slab),
+        # then reduced over the tile and all K candidates.
+        big = jnp.float32(1e9)
+        dpad_f = jnp.float32(dpad)
         dqmn = dqmx = None
         for kk in range(k):
-            span = a_abs[kk] * jnp.float32(hb)
-            lo_k = (p0mn[kk] - span
-                    + jnp.minimum(bmn[kk] * dy, bmx[kk] * dy))
-            hi_k = (p0mx[kk] + span
-                    + jnp.maximum(bmn[kk] * dy, bmx[kk] * dy))
+            v = params[kk][0] + params[kk][2] * dy
+            lo_px = v - ahb[kk]
+            hi_px = v + ahb[kk]
+            irr = (hi_px <= -1.0) | (lo_px >= dpad_f)
+            lo_k = jnp.min(jnp.where(irr, big, jnp.maximum(lo_px, -1.0)))
+            hi_k = jnp.max(jnp.where(irr, -big, jnp.minimum(hi_px, dpad_f)))
             dqmn = lo_k if dqmn is None else jnp.minimum(dqmn, lo_k)
             dqmx = hi_k if dqmx is None else jnp.maximum(dqmx, hi_k)
-        # tent mass lives at integer d in (dq-1, dq+1); intersect with the
-        # volume's [0, dpad-1] (slices past it are zero-padded).  The slab
-        # start is aligned down to a sublane multiple (Mosaic requires the
-        # dynamic sublane index to be provably a multiple of 8).
+        # tent mass lives at integer d in (dq-1, dq+1); the slab start is
+        # aligned down to a sublane multiple (Mosaic requires the dynamic
+        # sublane index to be provably a multiple of 8).  An all-irrelevant
+        # tile reduces to (+big, -big) and trivially "fits".
         lo2 = jnp.maximum(jnp.floor(dqmn).astype(jnp.int32), 0)
         hi2 = jnp.minimum(jnp.ceil(dqmx).astype(jnp.int32), dpad - 1)
         lo8 = (lo2 >> 3) << 3
         fits = hi2 - lo8 < slab          # also true when hi2 < lo2
-        lo_c = pl.multiple_of(jnp.minimum(lo8, dpad - slab), 8)
+        lo_c = pl.multiple_of(
+            jnp.clip(lo8, 0, dpad - slab), 8)
 
         @pl.when(fits)
         def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):

@@ -203,12 +203,13 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                 return cross_scale_plane_cost_prepared(
                     preps, mcs, wgts, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                    ybounds_s=ybounds_s)
+                    ybounds_s=ybounds_s, slab=cfg.pallas_slab)
         else:
             def cost_fn(abc2: jax.Array) -> jax.Array:
                 return window_plane_cost_prepared(
                     prep0, max_cost, abc2, half_wnd=hw,
-                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0)
+                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0,
+                    slab=cfg.pallas_slab)
     else:
         from ..ops.plane_cost import (upsample_level, upsample_valid,
                                       window_plane_cost_upsampled)
