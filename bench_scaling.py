@@ -8,8 +8,9 @@ measure the mechanism, not the hardware — both are labeled as such.
 
 Usage:
   python bench_scaling.py [--h 384] [--w 448] [--max_dis 60] [--batch 0]
-With --batch N > 0 the "data" axis shards N pairs (weak scaling);
-otherwise a single pair is row-sharded over all devices (strong scaling).
+With --batch N > 0 a fixed batch of N pairs is sharded over the "data"
+axis; otherwise a single pair is row-sharded over all devices.  Both are
+strong-scaling measurements (fixed total work, growing device count).
 
 Prints one JSON line per mesh configuration.
 """
@@ -44,7 +45,7 @@ def main():
     ap.add_argument("--max_dis", type=int, default=60)
     ap.add_argument("--wnd", type=int, default=35)
     ap.add_argument("--batch", type=int, default=0,
-                    help=">0: weak scaling over the data axis")
+                    help=">0: shard a fixed batch of N pairs over 'data'")
     args = ap.parse_args()
 
     import jax
@@ -67,8 +68,8 @@ def main():
                 jnp.arange(b, dtype=jnp.int32))
 
     results = []
-    if args.batch > 0:      # weak scaling: pairs over "data"
-        for n in [1, n_dev]:
+    if args.batch > 0:      # fixed batch sharded over "data" (strong scaling)
+        for n in sorted({1, n_dev}):
             if args.batch % n:
                 continue
             l, r, s = mk_batch(args.batch)

@@ -256,13 +256,17 @@ def plane_refinement(state: PMState, key: jax.Array, cost_fn: CostFn,
     if cfg.batch_refine:
         r = len(cfg.refinement_schedule())
         keys = jax.random.split(key, 2 * r).reshape(2, r, -1)
-        cands = [jnp.stack([
-            plane.perturb_planes(keys[v, i], state.abc[v], zs[i], ns[i],
-                                 cfg.eps) for i in range(r)])
-            for v in range(2)]
-        cand_abc = jnp.stack(cands)                    # [2, R, H, W, 3]
-        cand_cost = cost_fn(cand_abc)
-        return _adopt(state, cand_abc, cand_cost)
+        stages = max(1, min(cfg.refine_stages, r))
+        per = -(-r // stages)
+        for s0 in range(0, r, per):
+            rounds = range(s0, min(s0 + per, r))
+            cands = [jnp.stack([
+                plane.perturb_planes(keys[v, i], state.abc[v], zs[i],
+                                     ns[i], cfg.eps) for i in rounds])
+                for v in range(2)]
+            cand_abc = jnp.stack(cands)            # [2, <=per, H, W, 3]
+            state = _adopt(state, cand_abc, cost_fn(cand_abc))
+        return state
 
     def body(carry, zn):
         st, k = carry

@@ -21,6 +21,27 @@ from . import patchmatch as pm
 from .postprocess import postprocess
 
 
+def _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig):
+    """Bind the configured plane-cost backend; returns (cost_fn, pp_imgs)."""
+    if cfg.precompute_volume:
+        vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
+        return pm.make_cost_fn(cfg, vd), vd.imgs[0]
+    return (pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8),
+            jnp.stack([l_bgr_u8, r_bgr_u8]))
+
+
+def _finalize(state: pm.PMState, pp_imgs, cfg: CSPMConfig
+              ) -> Dict[str, jax.Array]:
+    """Planes -> scaled u8 disparity (+ optional post-processing)."""
+    _, h, w = state.cost.shape
+    dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
+    if cfg.use_pp:
+        dis, valid = postprocess(dis, state.abc, pp_imgs, cfg)
+    else:
+        valid = jnp.ones((2, h, w), bool)
+    return {"dis": dis, "abc": state.abc, "cost": state.cost, "valid": valid}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_pair(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
              cfg: CSPMConfig) -> Dict[str, jax.Array]:
@@ -38,21 +59,10 @@ def run_pair(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
       bool[2, H, W] LR-check mask (all-true when use_pp=False).
     """
     h, w, _ = l_bgr_u8.shape
-    if cfg.precompute_volume:
-        vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
-        cost_fn = pm.make_cost_fn(cfg, vd)
-        pp_imgs = vd.imgs[0]
-    else:
-        cost_fn = pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8)
-        pp_imgs = jnp.stack([l_bgr_u8, r_bgr_u8])
+    cost_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
     key = jax.random.PRNGKey(seed)
     state = pm.patchmatch(key, (h, w), cost_fn, cfg)
-    dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
-    if cfg.use_pp:
-        dis, valid = postprocess(dis, state.abc, pp_imgs, cfg)
-    else:
-        valid = jnp.ones((2, h, w), bool)
-    return {"dis": dis, "abc": state.abc, "cost": state.cost, "valid": valid}
+    return _finalize(state, pp_imgs, cfg)
 
 
 def run_pair_np(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, seed: int = 0):
@@ -85,25 +95,13 @@ def run_pair_warm(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
 
     Returns: same dict as run_pair.
     """
-    h, w, _ = l_bgr_u8.shape
-    if cfg.precompute_volume:
-        vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
-        cost_fn = pm.make_cost_fn(cfg, vd)
-        pp_imgs = vd.imgs[0]
-    else:
-        cost_fn = pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8)
-        pp_imgs = jnp.stack([l_bgr_u8, r_bgr_u8])
+    cost_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
     state = pm.PMState(abc=init_abc, cost=cost_fn(init_abc[:, None])[:, 0])
     keys = jax.random.split(jax.random.PRNGKey(seed), warm_iters)
     state, _ = jax.lax.scan(
         lambda st, k: (pm.iteration_step(st, k, cost_fn, cfg), None),
         state, keys)
-    dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
-    if cfg.use_pp:
-        dis, valid = postprocess(dis, state.abc, pp_imgs, cfg)
-    else:
-        valid = jnp.ones((2, h, w), bool)
-    return {"dis": dis, "abc": state.abc, "cost": state.cost, "valid": valid}
+    return _finalize(state, pp_imgs, cfg)
 
 
 def run_sequence_np(frames, cfg: CSPMConfig, seed: int = 0,

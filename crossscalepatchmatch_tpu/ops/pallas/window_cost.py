@@ -194,9 +194,9 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         dpad_f = jnp.float32(dpad)
         dqmn = dqmx = None
         for kk in range(k):
-            v = params[kk][0] + params[kk][2] * dy
-            lo_px = v - ahb[kk]
-            hi_px = v + ahb[kk]
+            dq_ctr = params[kk][0] + params[kk][2] * dy
+            lo_px = dq_ctr - ahb[kk]
+            hi_px = dq_ctr + ahb[kk]
             irr = (hi_px <= -1.0) | (lo_px >= dpad_f)
             lo_k = jnp.min(jnp.where(irr, big, jnp.maximum(lo_px, -1.0)))
             hi_k = jnp.max(jnp.where(irr, -big, jnp.minimum(hi_px, dpad_f)))
@@ -326,10 +326,17 @@ def plane_params(abc: jax.Array, *, th: int = 64,
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     d_center = abc[..., 0] * xs + abc[..., 1] * ys + abc[..., 2]
-    params = jnp.stack([d_center, abc[..., 0], abc[..., 1],
-                        jnp.zeros_like(d_center)], axis=2)  # [2, K, 4, H, W]
-    return jnp.pad(params, ((0, 0), (0, 0), (0, 0),
-                            (0, n_ty * th - h), (0, n_tx * tw - w)))
+    pad = ((0, 0), (0, 0), (0, n_ty * th - h), (0, n_tx * tw - w))
+    # Padded (out-of-image) tile pixels get d_center = -2 with zero slopes:
+    # outside the tent-relevant range, so the kernel's slab-bound reduction
+    # treats them as irrelevant instead of anchoring every edge tile's slab
+    # at d = 0 (their cost outputs are sliced away regardless).
+    params = jnp.stack([jnp.pad(d_center, pad, constant_values=-2.0),
+                        jnp.pad(abc[..., 0], pad),
+                        jnp.pad(abc[..., 1], pad),
+                        jnp.pad(jnp.zeros_like(d_center), pad)],
+                       axis=2)                              # [2, K, 4, TH, TW]
+    return params
 
 
 def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,

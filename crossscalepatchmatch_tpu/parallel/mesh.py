@@ -50,11 +50,18 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """
     import jax
 
-    if num_processes is not None and num_processes > 1 or (
-            coordinator_address is not None):
+    if coordinator_address is not None or (num_processes or 0) > 1:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    else:
+        try:
+            # TPU pods / managed clusters: endpoints auto-detected from the
+            # environment.  On a plain single host there is nothing to
+            # detect -- fall through to a local mesh.
+            jax.distributed.initialize()
+        except Exception:
+            pass
     n_hosts = jax.process_count()
     local = len(jax.local_devices())
     # data spans hosts; ty spans each host's local chips

@@ -33,6 +33,8 @@ def pixel_info(out: dict, x: int, y: int, dis_scale: int = 1,
 
     Args:
       out: run_pair output dict ("abc", "cost", "dis", optionally "valid").
+      dis_scale: the config's output scale, so the plane disparity can be
+        printed in the same scaled units as the u8 map for comparison.
     """
     info = {}
     for v, view in enumerate(("left", "right")):
@@ -41,12 +43,15 @@ def pixel_info(out: dict, x: int, y: int, dis_scale: int = 1,
         info[view] = {
             "abc": (a, b, c),
             "disparity": d,
+            "dis_scaled": d * dis_scale,
             "dis_u8": int(np.asarray(out["dis"])[v, y, x]),
             "min_cost": float(np.asarray(out["cost"])[v, y, x]),
         }
         if "valid" in out:
             info[view]["valid"] = bool(np.asarray(out["valid"])[v, y, x])
-        print(f"({x},{y}) {view}: d={d:.4f} plane=({a:.4f},{b:.4f},{c:.4f})"
+        print(f"({x},{y}) {view}: d={d:.4f} (x{dis_scale} = "
+              f"{d * dis_scale:.2f}, map u8 = {info[view]['dis_u8']}) "
+              f"plane=({a:.4f},{b:.4f},{c:.4f})"
               f" cost={info[view]['min_cost']:.6g}"
               + (f" valid={info[view].get('valid')}" if "valid" in out
                  else ""),
@@ -71,7 +76,7 @@ def disparity_to_color(dis: np.ndarray, max_val: int | None = None
     return rgb.astype(np.uint8)
 
 
-def save_debug_dumps(out: dict, prefix: str, dis_scale: int = 1) -> list:
+def save_debug_dumps(out: dict, prefix: str) -> list:
     """VIEW_PP analogue: write disparity (gray + color) and validity maps.
 
     Returns the list of files written ("<prefix>_{l,r}_{dis,color,valid}.png").
@@ -85,8 +90,7 @@ def save_debug_dumps(out: dict, prefix: str, dis_scale: int = 1) -> list:
         cio.write_gray(p, dis[v])
         written.append(p)
         pc = f"{prefix}_{tag}_color.png"
-        rgb = disparity_to_color(dis[v])
-        cio.write_gray(pc, rgb) if rgb.ndim == 2 else _write_rgb(pc, rgb)
+        _write_rgb(pc, disparity_to_color(dis[v]))
         written.append(pc)
         if "valid" in out:
             pv = f"{prefix}_{tag}_valid.png"
