@@ -83,8 +83,10 @@ def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
     def _step(l, r, seed, state, iteration, cfg):
         vd = build_volume_data(l, r, cfg)
         cost_fn = pm.make_cost_fn(cfg, vd)
+        sparse_fn = pm.make_sparse_cost_fn(cfg, vd)
         keys = pm.iteration_keys(jax.random.PRNGKey(seed), cfg)
-        return pm.iteration_step(state, keys[iteration], cost_fn, cfg)
+        return pm.iteration_step(state, keys[iteration], cost_fn, cfg,
+                                 sparse_fn)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _finalize(l, r, state, cfg):

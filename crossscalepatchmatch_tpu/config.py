@@ -100,6 +100,16 @@ class CSPMConfig:
     # at ~5% runtime for one extra kernel launch per iteration.
     batch_refine: bool = True
     refine_stages: int = 2
+    # Candidate prescreening: rank multi-candidate batches (sweeps,
+    # refinement stages) on a window subsampled by this stride and fully
+    # evaluate only the winner (1 disables -- reference-faithful ranking).
+    # An optimizer-search heuristic, not a cost redefinition: adoption
+    # still compares full-window costs.  Single-scale precomputed path
+    # only.  Default 2: measured 4.33 -> 3.16 s/pair on the TPU bench
+    # with bad-pixel 0.0052 -> 0.0049 (the half-density window ranks
+    # candidates at least as well as the full one at 1/4 the cost);
+    # stride 3 is faster still at wnd=35 but degrades small windows.
+    prescreen_stride: int = 2
 
     # --- cost model constants ---------------------------------------------
     cost_alpha: float = 0.1     # color/gradient mixing weight

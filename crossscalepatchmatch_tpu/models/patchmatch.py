@@ -160,6 +160,48 @@ def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
     return cost_fn
 
 
+def make_sparse_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn | None:
+    """Strided-window approximate evaluator for candidate prescreening.
+
+    Returns None when prescreening is disabled or unsupported
+    (cross-scale / on-the-fly paths).
+    """
+    if cfg.prescreen_stride <= 1 or cfg.use_cs or not cfg.precompute_volume:
+        return None
+    if _pallas_enabled(cfg):
+        from ..ops.pallas.window_cost import (prepare_volumes,
+                                              window_plane_cost_prepared)
+        prep = prepare_volumes(vd.imgs[0], vd.vols[0], half_wnd=cfg.half_wnd)
+        max_costs = vd.max_costs[0]
+
+        def sparse_fn(abc2: jax.Array) -> jax.Array:
+            return window_plane_cost_prepared(
+                prep, max_costs, abc2, half_wnd=cfg.half_wnd,
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                slab=cfg.pallas_slab, wnd_stride=cfg.prescreen_stride)
+
+        return sparse_fn
+    img, vol, mc = vd.imgs[0], vd.vols[0], vd.max_costs[0]
+
+    def sparse_fn(abc2: jax.Array) -> jax.Array:
+        fn = functools.partial(window_plane_cost, half_wnd=cfg.half_wnd,
+                               max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                               wnd_stride=cfg.prescreen_stride)
+        return jax.vmap(fn)(img, vol, mc, abc2)
+
+    return sparse_fn
+
+
+def _prescreen(cand_abc: jax.Array, sparse_fn: CostFn | None) -> jax.Array:
+    """Narrow a K-candidate batch to its per-pixel sparse-cost winner."""
+    if sparse_fn is None or cand_abc.shape[1] == 1:
+        return cand_abc
+    sc = sparse_fn(cand_abc)
+    best_k = jnp.argmin(sc, axis=1)
+    return jnp.take_along_axis(
+        cand_abc, best_k[:, None, ..., None], axis=1)
+
+
 def _adopt(state: PMState, cand_abc: jax.Array,
            cand_cost: jax.Array) -> PMState:
     """Adopt, per pixel, the best candidate iff it strictly improves.
@@ -192,11 +234,12 @@ def _stencil(cfg: CSPMConfig, sweep: int = 0) -> List[Tuple[int, int]]:
 
 
 def spatial_sweep(state: PMState, cost_fn: CostFn, cfg: CSPMConfig,
-                  sweep: int = 0) -> PMState:
+                  sweep: int = 0,
+                  sparse_fn: CostFn | None = None) -> PMState:
     """One dense propagation sweep: every pixel tests its stencil's planes."""
     cands = [jnp.roll(state.abc, (dy, dx), axis=(1, 2))
              for dy, dx in _stencil(cfg, sweep)]
-    cand_abc = jnp.stack(cands, axis=1)          # [2, K, H, W, 3]
+    cand_abc = _prescreen(jnp.stack(cands, axis=1), sparse_fn)
     cand_cost = cost_fn(cand_abc)
     return _adopt(state, cand_abc, cand_cost)
 
@@ -236,7 +279,8 @@ def view_propagation(state: PMState, cost_fn: CostFn,
 
 
 def plane_refinement(state: PMState, key: jax.Array, cost_fn: CostFn,
-                     cfg: CSPMConfig) -> PMState:
+                     cfg: CSPMConfig,
+                     sparse_fn: CostFn | None = None) -> PMState:
     """Randomized refinement with the halving perturbation schedule.
 
     Two modes:
@@ -264,7 +308,7 @@ def plane_refinement(state: PMState, key: jax.Array, cost_fn: CostFn,
                 plane.perturb_planes(keys[v, i], state.abc[v], zs[i],
                                      ns[i], cfg.eps) for i in rounds])
                 for v in range(2)]
-            cand_abc = jnp.stack(cands)            # [2, <=per, H, W, 3]
+            cand_abc = _prescreen(jnp.stack(cands), sparse_fn)
             state = _adopt(state, cand_abc, cost_fn(cand_abc))
         return state
 
@@ -292,13 +336,15 @@ def init_state(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
 
 
 def iteration_step(state: PMState, key: jax.Array, cost_fn: CostFn,
-                   cfg: CSPMConfig) -> PMState:
+                   cfg: CSPMConfig,
+                   sparse_fn: CostFn | None = None) -> PMState:
     """One outer PatchMatch iteration: propagation sweeps, view
     propagation, refinement (the loop body of cs_patchmatch.cc:61-99)."""
     for i in range(cfg.prop_sweeps):
-        state = spatial_sweep(state, cost_fn, cfg, sweep=i)
+        state = spatial_sweep(state, cost_fn, cfg, sweep=i,
+                              sparse_fn=sparse_fn)
     state = view_propagation(state, cost_fn, cfg)
-    state = plane_refinement(state, key, cost_fn, cfg)
+    state = plane_refinement(state, key, cost_fn, cfg, sparse_fn=sparse_fn)
     return state
 
 
@@ -310,13 +356,15 @@ def iteration_keys(key: jax.Array, cfg: CSPMConfig) -> jax.Array:
 
 
 def patchmatch(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
-               cfg: CSPMConfig) -> PMState:
+               cfg: CSPMConfig,
+               sparse_fn: CostFn | None = None) -> PMState:
     """Full optimizer: init + max_iter outer iterations."""
     k_init, _ = jax.random.split(key)
     state = init_state(k_init, hw, cost_fn, cfg)
     keys = iteration_keys(key, cfg)
     state, _ = jax.lax.scan(
-        lambda st, k: (iteration_step(st, k, cost_fn, cfg), None),
+        lambda st, k: (iteration_step(st, k, cost_fn, cfg, sparse_fn),
+                       None),
         state, keys)
     return state
 

@@ -22,11 +22,14 @@ from .postprocess import postprocess
 
 
 def _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig):
-    """Bind the configured plane-cost backend; returns (cost_fn, pp_imgs)."""
+    """Bind the configured plane-cost backend.
+
+    Returns (cost_fn, sparse_fn_or_None, pp_imgs)."""
     if cfg.precompute_volume:
         vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
-        return pm.make_cost_fn(cfg, vd), vd.imgs[0]
-    return (pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8),
+        return (pm.make_cost_fn(cfg, vd), pm.make_sparse_cost_fn(cfg, vd),
+                vd.imgs[0])
+    return (pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8), None,
             jnp.stack([l_bgr_u8, r_bgr_u8]))
 
 
@@ -59,9 +62,9 @@ def run_pair(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
       bool[2, H, W] LR-check mask (all-true when use_pp=False).
     """
     h, w, _ = l_bgr_u8.shape
-    cost_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
+    cost_fn, sparse_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
     key = jax.random.PRNGKey(seed)
-    state = pm.patchmatch(key, (h, w), cost_fn, cfg)
+    state = pm.patchmatch(key, (h, w), cost_fn, cfg, sparse_fn)
     return _finalize(state, pp_imgs, cfg)
 
 
@@ -95,11 +98,12 @@ def run_pair_warm(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
 
     Returns: same dict as run_pair.
     """
-    cost_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
+    cost_fn, sparse_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
     state = pm.PMState(abc=init_abc, cost=cost_fn(init_abc[:, None])[:, 0])
     keys = jax.random.split(jax.random.PRNGKey(seed), warm_iters)
     state, _ = jax.lax.scan(
-        lambda st, k: (pm.iteration_step(st, k, cost_fn, cfg), None),
+        lambda st, k: (pm.iteration_step(st, k, cost_fn, cfg, sparse_fn),
+                       None),
         state, keys)
     return _finalize(state, pp_imgs, cfg)
 

@@ -49,7 +49,8 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             img_tile, vol_tile, sems,
             *, hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, k: int,
-            scale: int = 0, ws: int = 0, slab: int = 0):
+            scale: int = 0, ws: int = 0, slab: int = 0,
+            wstride: int = 1):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -135,8 +136,10 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     # Mosaic cannot form vector loads at traced lane offsets, so the row
     # offset dy is a static unroll (unaligned static slices are fine) and
     # the column offset dx becomes a dynamic lane-rotate of the per-dy row
-    # slab (tpu dynamic_rotate) followed by a static slice.
-    for dy in range(-hb, hb + 1):
+    # slab (tpu dynamic_rotate) followed by a static slice.  wstride > 1
+    # evaluates a subsampled window (candidate prescreening).
+    n_dx = len(range(-hb, hb + 1, wstride))
+    for dy in range(-hb, hb + 1, wstride):
         sy = dy * step
         img_dy = [img_tile[p, mg + sy:mg + sy + th, :] for p in range(3)]
         fy = ys + sy
@@ -153,11 +156,11 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             d_io = d_io + d0.astype(jnp.float32) if nd != dpad else d_io
 
             def dx_body(dxi, _):
-                shift = wt - dxi * step
+                shift = wt - dxi * (step * wstride)
                 q = [pltpu.roll(img_dy[p], shift, 1)[:, :tw]
                      for p in range(3)]
                 vol_q = pltpu.roll(vol_dy, shift, 2)[:, :, :tw]
-                dx = dxi - hb
+                dx = dxi * wstride - hb
                 l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
                       + jnp.abs(ctr[2] - q[2]))
                 # window pixel must map to a real (level-s) image pixel
@@ -178,7 +181,7 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                     out_ref[0, kk] += wgt * val
                 return 0
 
-            jax.lax.fori_loop(0, wnd, dx_body, 0)
+            jax.lax.fori_loop(0, n_dx, dx_body, 0)
 
         if not use_slab:
             dx_loop(vol_tile[mg + sy:mg + sy + th, :, :], jnp.int32(0),
@@ -341,7 +344,7 @@ def plane_params(abc: jax.Array, *, th: int = 64,
 
 def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
-            tw: int, slab: int = 32,
+            tw: int, slab: int = 32, wnd_stride: int = 1,
             ybounds: jax.Array | None = None) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level."""
     h, w, d = prep.h, prep.w, prep.d
@@ -368,7 +371,7 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
-        scale=prep.scale, ws=prep.ws, slab=slab)
+        scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -410,6 +413,7 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                abc: jax.Array, *, half_wnd: int,
                                max_dis: int, gamma: float, th: int = 64,
                                tw: int = 128, slab: int = 32,
+                               wnd_stride: int = 1,
                                ybounds: jax.Array | None = None
                                ) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
@@ -428,7 +432,7 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
-                   ybounds=ybounds)
+                   wnd_stride=wnd_stride, ybounds=ybounds)
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,

@@ -50,7 +50,8 @@ def _trunc(x: jax.Array) -> jax.Array:
 def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
                       abc: jax.Array, *, half_wnd: int, max_dis: int,
                       gamma: float, center_row0: int = 0,
-                      row_valid: jax.Array | None = None) -> jax.Array:
+                      row_valid: jax.Array | None = None,
+                      wnd_stride: int = 1) -> jax.Array:
     """Single-scale, fine-grid plane cost for K candidate plane fields.
 
     Args:
@@ -67,6 +68,9 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
         global image (halo rows received from a neighbor shard are valid;
         rows past the global border are not).  Defaults to all rows valid;
         rows outside [0, Ha) are always invalid.
+      wnd_stride: evaluate only every wnd_stride-th window offset per axis
+        (candidate prescreening -- an approximation of the full cost used
+        for ranking, NOT the reference semantics; keep 1 for true costs).
 
     Plane parameters are evaluated against *output-grid* (local) coordinates;
     for sharded evaluation the caller re-anchors planes into local row
@@ -79,6 +83,9 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
     ha, w, _ = img_u8.shape
     k, h = abc.shape[0], abc.shape[-3]
     wnd = 2 * half_wnd + 1
+    offs = [(dy, dx)
+            for dy in range(-half_wnd, half_wnd + 1, wnd_stride)
+            for dx in range(-half_wnd, half_wnd + 1, wnd_stride)]
     img_i32 = img_u8.astype(jnp.int32)
     inv_gamma = jnp.float32(1.0 / gamma)
 
@@ -100,9 +107,11 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
     q_row_ok = (row_valid[:, None] if row_valid is not None
                 else jnp.ones((ha, 1), bool))
 
+    n_per_row = len(range(-half_wnd, half_wnd + 1, wnd_stride))
+
     def body(o, acc):
-        dy = o // wnd - half_wnd
-        dx = o % wnd - half_wnd
+        dy = (o // n_per_row) * wnd_stride - half_wnd
+        dx = (o % n_per_row) * wnd_stride - half_wnd
         # Roll per-center fields to the q = c + (dy, dx) frame.
         dq = jnp.roll(
             d_f + a_f * dx + b_f * dy, (dy, dx), axis=(-2, -1))
@@ -133,7 +142,7 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
     # derive the accumulator from abc so loop-carry sharding metadata
     # (shard_map varying-axes) matches inside and outside the loop
     acc0 = jnp.zeros((k, ha, w), jnp.float32) + 0.0 * d_f
-    acc = jax.lax.fori_loop(0, wnd * wnd, body, acc0)
+    acc = jax.lax.fori_loop(0, len(offs), body, acc0)
     return jax.lax.slice_in_dim(acc, center_row0, center_row0 + h, axis=1)
 
 

@@ -176,6 +176,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
             coarse_vols.append(v_s)
             coarse_mcs.append(jnp.max(v_s, axis=(1, 2, 3)))
 
+    sparse_fn = None   # strided prescreen evaluator (single-scale only)
     if cfg.use_pallas and jax.default_backend() == "tpu":
         # Fused kernel on the band: neighbor-halo rows are valid image
         # rows, rows past the global border are not -- expressed as the
@@ -210,6 +211,14 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                     prep0, max_cost, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0,
                     slab=cfg.pallas_slab)
+
+            if cfg.prescreen_stride > 1:
+                def sparse_fn(abc2: jax.Array) -> jax.Array:
+                    return window_plane_cost_prepared(
+                        prep0, max_cost, abc2, half_wnd=hw,
+                        max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                        ybounds=yb0, slab=cfg.pallas_slab,
+                        wnd_stride=cfg.prescreen_stride)
     else:
         from ..ops.plane_cost import (upsample_level, upsample_valid,
                                       window_plane_cost_upsampled)
@@ -241,6 +250,18 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                 total = total + jnp.float32(wgts[s]) * cost_s
             return total
 
+        if cfg.prescreen_stride > 1 and not cfg.use_cs:
+            def sparse_fn(abc2: jax.Array) -> jax.Array:
+                fn = functools.partial(
+                    window_plane_cost, half_wnd=hw, max_dis=cfg.max_dis,
+                    gamma=cfg.wgt_gamma, center_row0=hw,
+                    row_valid=row_valid,
+                    wnd_stride=cfg.prescreen_stride)
+                return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
+
+    if cfg.use_cs:
+        sparse_fn = None     # prescreen is single-scale only
+
     # --- optimizer --------------------------------------------------------
     k_init, k_loop = jax.random.split(key)
     state = pm.init_state(k_init, (hs, w), cost_fn, cfg)
@@ -249,14 +270,15 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         ext_abc = jax.vmap(lambda a: _extend_planes(a, far, hs))(state.abc)
         cands = [jnp.roll(ext_abc, (dy, dx), axis=(1, 2))[:, far:far + hs]
                  for dy, dx in pm._stencil(sweep_cfg, i)]
-        cand_abc = jnp.stack(cands, axis=1)
+        cand_abc = pm._prescreen(jnp.stack(cands, axis=1), sparse_fn)
         return pm._adopt(state, cand_abc, cost_fn(cand_abc))
 
     def iteration(state, it_key):
         for i in range(cfg.prop_sweeps):
             state = sweep(state, i)
         state = pm.view_propagation(state, cost_fn, cfg)
-        state = pm.plane_refinement(state, it_key, cost_fn, cfg)
+        state = pm.plane_refinement(state, it_key, cost_fn, cfg,
+                                    sparse_fn=sparse_fn)
         return state, None
 
     keys = jax.random.split(k_loop, cfg.max_iter)

@@ -77,6 +77,36 @@ def test_kernel_slab_path_matches_jnp_interpret():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_kernel_wnd_stride_matches_jnp_interpret():
+    """Strided (prescreen) window evaluation: kernel vs jnp, stride 2."""
+    h, w, d, wnd = 24, 40, 8, 7
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3 = jax.random.split(key, 3)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    vols = jax.random.uniform(k2, (2, h, w, d + 1), jnp.float32)
+    mc = jnp.max(vols, axis=(1, 2, 3))
+    ab = jax.random.uniform(k3, (2, 2, h, w, 2), jnp.float32, -1, 1)
+    dc = jax.random.uniform(k3, (2, 2, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        prepare_volumes, window_plane_cost_prepared)
+
+    with pltpu.force_tpu_interpret_mode():
+        prep = prepare_volumes(imgs, vols, half_wnd=wnd // 2, th=8, tw=128)
+        got = jax.jit(lambda p, m, a: window_plane_cost_prepared(
+            p, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0, th=8,
+            tw=128, wnd_stride=2))(prep, mc, abc)
+    want = jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
+        wnd_stride=2))(imgs, vols, mc, abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_cross_scale_kernel_matches_jnp_interpret():
     from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
         cross_scale_plane_cost_pallas)
