@@ -71,45 +71,47 @@ def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
 
     import functools
 
+    # The cost volumes are a pure function of the (unchanging) images, so
+    # they are built ONCE here and threaded through every step as a pytree
+    # instead of being rebuilt inside each per-iteration jit call.
+    _build = jax.jit(build_volume_data, static_argnames=("cfg",))
+
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def _init(l, r, seed, cfg):
-        vd = build_volume_data(l, r, cfg)
-        cost_fn = pm.make_cost_fn(cfg, vd)
+    def _init(vd, seed, cfg):
+        cost_fn, _ = pm.make_cost_fns(cfg, vd)
         key = jax.random.PRNGKey(seed)
         k_init, _ = jax.random.split(key)
         return pm.init_state(k_init, (h, w), cost_fn, cfg)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def _step(l, r, seed, state, iteration, cfg):
-        vd = build_volume_data(l, r, cfg)
-        cost_fn = pm.make_cost_fn(cfg, vd)
-        sparse_fn = pm.make_sparse_cost_fn(cfg, vd)
+    def _step(vd, seed, state, iteration, cfg):
+        cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
         keys = pm.iteration_keys(jax.random.PRNGKey(seed), cfg)
         return pm.iteration_step(state, keys[iteration], cost_fn, cfg,
                                  sparse_fn)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def _finalize(l, r, state, cfg):
+    def _finalize(vd, state, cfg):
         dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
         if cfg.use_pp:
-            vd = build_volume_data(l, r, cfg)
             dis, valid = postprocess(dis, state.abc, vd.imgs[0], cfg)
         else:
             valid = jnp.ones((2, h, w), bool)
         return {"dis": dis, "abc": state.abc, "cost": state.cost,
                 "valid": valid}
 
+    vd = _build(l, r, cfg=cfg)
     resumed = load_state(ckpt_path, cfg, seed)
     if resumed is None:
-        state, start = _init(l, r, jnp.int32(seed), cfg), 0
+        state, start = _init(vd, jnp.int32(seed), cfg), 0
         save_state(ckpt_path, state, 0, cfg, seed)
     else:
         state, start = resumed
 
     for it in range(start, cfg.max_iter):
-        state = _step(l, r, jnp.int32(seed), state, jnp.int32(it), cfg)
+        state = _step(vd, jnp.int32(seed), state, jnp.int32(it), cfg)
         jax.block_until_ready(state.abc)
         save_state(ckpt_path, state, it + 1, cfg, seed)
 
-    out = _finalize(l, r, state, cfg)
+    out = _finalize(vd, state, cfg)
     return {k: np.asarray(v) for k, v in out.items()}

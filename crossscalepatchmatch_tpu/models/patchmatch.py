@@ -106,8 +106,18 @@ def _pallas_enabled(cfg: CSPMConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
-def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
-    """Bind the per-view volume data into a batched plane-cost evaluator."""
+def make_cost_fns(cfg: CSPMConfig,
+                  vd: VolumeData) -> Tuple[CostFn, CostFn | None]:
+    """Bind the per-view volume data into batched plane-cost evaluators.
+
+    Returns (cost_fn, sparse_fn): the exact evaluator plus the strided
+    prescreen evaluator (None when prescreening is disabled or unsupported
+    -- cross-scale path).  Both share one kernel volume layout
+    (PreparedVolumes) so the padded HBM image/volume transpose is built
+    once per pair, not per evaluator.
+    """
+    want_sparse = (cfg.prescreen_stride > 1 and not cfg.use_cs
+                   and cfg.precompute_volume)
     if _pallas_enabled(cfg) and not cfg.use_cs:
         from ..ops.pallas.window_cost import (prepare_volumes,
                                               window_plane_cost_prepared)
@@ -115,13 +125,17 @@ def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
                                half_wnd=cfg.half_wnd)
         max_costs = vd.max_costs[0]
 
-        def cost_fn(abc2: jax.Array) -> jax.Array:
+        def kernel_fn(abc2: jax.Array, stride: int) -> jax.Array:
             return window_plane_cost_prepared(
                 prep, max_costs, abc2, half_wnd=cfg.half_wnd,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                slab=cfg.pallas_slab)
+                slab=cfg.pallas_slab, wnd_stride=stride)
 
-        return cost_fn
+        cost_fn = functools.partial(kernel_fn, stride=1)
+        sparse_fn = (functools.partial(kernel_fn,
+                                       stride=cfg.prescreen_stride)
+                     if want_sparse else None)
+        return cost_fn, sparse_fn
     if _pallas_enabled(cfg) and cfg.use_cs:
         from ..ops.pallas.window_cost import (
             cross_scale_plane_cost_prepared, prepare_cross_scale)
@@ -136,8 +150,17 @@ def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                 slab=cfg.pallas_slab)
 
-        return cost_fn
+        return cost_fn, None
     if cfg.use_cs:
+        if jax.default_backend() == "tpu":
+            # The jnp upsampled cross-scale path is known to crash the
+            # XLA:TPU worker at the default window size (an XLA:TPU
+            # lowering bug on the upsampled-roll gather pattern, not an
+            # engine bug); never select it on TPU.
+            raise RuntimeError(
+                "the jnp cross-scale plane cost is not supported on TPU "
+                "(it crashes the XLA:TPU worker at wnd_size=35); use the "
+                "fused kernel path (use_pallas=True) or run on CPU")
         wgts = tuple(float(x) for x in
                      scale_weights(cfg.scale_num, cfg.reg_lambda))
 
@@ -149,47 +172,34 @@ def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
         def cost_fn(abc2: jax.Array) -> jax.Array:
             return jax.vmap(eval_view, in_axes=(0, 0, 0, 0))(
                 vd.imgs, vd.vols, vd.max_costs, abc2)
-    else:
-        img, vol, mc = vd.imgs[0], vd.vols[0], vd.max_costs[0]
 
-        def cost_fn(abc2: jax.Array) -> jax.Array:
-            fn = functools.partial(window_plane_cost, half_wnd=cfg.half_wnd,
-                                   max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
-            return jax.vmap(fn)(img, vol, mc, abc2)
+        return cost_fn, None
+    img, vol, mc = vd.imgs[0], vd.vols[0], vd.max_costs[0]
 
-    return cost_fn
+    def jnp_fn(abc2: jax.Array, stride: int) -> jax.Array:
+        fn = functools.partial(window_plane_cost, half_wnd=cfg.half_wnd,
+                               max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
+                               wnd_stride=stride)
+        return jax.vmap(fn)(img, vol, mc, abc2)
+
+    cost_fn = functools.partial(jnp_fn, stride=1)
+    sparse_fn = (functools.partial(jnp_fn, stride=cfg.prescreen_stride)
+                 if want_sparse else None)
+    return cost_fn, sparse_fn
+
+
+def make_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
+    """Exact batched plane-cost evaluator (see make_cost_fns)."""
+    return make_cost_fns(cfg, vd)[0]
 
 
 def make_sparse_cost_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn | None:
-    """Strided-window approximate evaluator for candidate prescreening.
+    """Strided-window prescreen evaluator alone (see make_cost_fns).
 
-    Returns None when prescreening is disabled or unsupported
-    (cross-scale / on-the-fly paths).
+    Prefer make_cost_fns when both evaluators are needed -- it shares the
+    kernel volume layout between them.
     """
-    if cfg.prescreen_stride <= 1 or cfg.use_cs or not cfg.precompute_volume:
-        return None
-    if _pallas_enabled(cfg):
-        from ..ops.pallas.window_cost import (prepare_volumes,
-                                              window_plane_cost_prepared)
-        prep = prepare_volumes(vd.imgs[0], vd.vols[0], half_wnd=cfg.half_wnd)
-        max_costs = vd.max_costs[0]
-
-        def sparse_fn(abc2: jax.Array) -> jax.Array:
-            return window_plane_cost_prepared(
-                prep, max_costs, abc2, half_wnd=cfg.half_wnd,
-                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                slab=cfg.pallas_slab, wnd_stride=cfg.prescreen_stride)
-
-        return sparse_fn
-    img, vol, mc = vd.imgs[0], vd.vols[0], vd.max_costs[0]
-
-    def sparse_fn(abc2: jax.Array) -> jax.Array:
-        fn = functools.partial(window_plane_cost, half_wnd=cfg.half_wnd,
-                               max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                               wnd_stride=cfg.prescreen_stride)
-        return jax.vmap(fn)(img, vol, mc, abc2)
-
-    return sparse_fn
+    return make_cost_fns(cfg, vd)[1]
 
 
 def _prescreen(cand_abc: jax.Array, sparse_fn: CostFn | None) -> jax.Array:

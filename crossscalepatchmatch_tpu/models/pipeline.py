@@ -27,8 +27,8 @@ def _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig):
     Returns (cost_fn, sparse_fn_or_None, pp_imgs)."""
     if cfg.precompute_volume:
         vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
-        return (pm.make_cost_fn(cfg, vd), pm.make_sparse_cost_fn(cfg, vd),
-                vd.imgs[0])
+        cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
+        return (cost_fn, sparse_fn, vd.imgs[0])
     return (pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8), None,
             jnp.stack([l_bgr_u8, r_bgr_u8]))
 

@@ -37,6 +37,15 @@ class VolumeData:
     max_costs: List[jax.Array]
 
 
+# Registered as a pytree so a built VolumeData can cross jit boundaries
+# (e.g. checkpoint.run_pair_resumable builds volumes once and feeds them to
+# every per-iteration step call).
+jax.tree_util.register_pytree_node(
+    VolumeData,
+    lambda v: ((v.imgs, v.vols, v.max_costs), None),
+    lambda _, ch: VolumeData(*ch))
+
+
 def build_volume(l_rgb_u8: jax.Array, r_rgb_u8: jax.Array, max_dis: int,
                  cfg: CSPMConfig, right: bool) -> jax.Array:
     """One cost volume for one reference view at one scale.

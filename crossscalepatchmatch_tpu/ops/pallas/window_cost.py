@@ -137,9 +137,12 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     # offset dy is a static unroll (unaligned static slices are fine) and
     # the column offset dx becomes a dynamic lane-rotate of the per-dy row
     # slab (tpu dynamic_rotate) followed by a static slice.  wstride > 1
-    # evaluates a subsampled window (candidate prescreening).
-    n_dx = len(range(-hb, hb + 1, wstride))
-    for dy in range(-hb, hb + 1, wstride):
+    # evaluates a subsampled window (candidate prescreening); the strided
+    # grid starts at -hb, matching ops.plane_cost.stride_start (see there
+    # for why it is NOT anchored on the center offset).
+    o_start = -hb
+    n_dx = len(range(o_start, hb + 1, wstride))
+    for dy in range(o_start, hb + 1, wstride):
         sy = dy * step
         img_dy = [img_tile[p, mg + sy:mg + sy + th, :] for p in range(3)]
         fy = ys + sy
@@ -156,11 +159,11 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             d_io = d_io + d0.astype(jnp.float32) if nd != dpad else d_io
 
             def dx_body(dxi, _):
-                shift = wt - dxi * (step * wstride)
+                dx = dxi * wstride + o_start
+                shift = wt - (dx + hb) * step
                 q = [pltpu.roll(img_dy[p], shift, 1)[:, :tw]
                      for p in range(3)]
                 vol_q = pltpu.roll(vol_dy, shift, 2)[:, :, :tw]
-                dx = dxi * wstride - hb
                 l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
                       + jnp.abs(ctr[2] - q[2]))
                 # window pixel must map to a real (level-s) image pixel

@@ -35,6 +35,17 @@ def make_mesh(n_data: int = 1, n_ty: Optional[int] = None,
     return Mesh(arr, ("data", "ty"))
 
 
+def _cluster_env_detected() -> bool:
+    """True when the environment advertises a multi-process cluster
+    (TPU pod / managed job) that jax.distributed can auto-configure from."""
+    import os
+
+    keys = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+            "CLOUD_TPU_TASK_ID", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")
+    return any(os.environ.get(k) for k in keys)
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> Mesh:
@@ -47,21 +58,24 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     communicate) and whose "ty" axis stays inside each host's slice so
     halo ppermutes ride ICI.  Single-process runs (tests, one host) fall
     through to a local mesh with the same layout.
+
+    Initialization failures PROPAGATE: a pod/cluster run that cannot form
+    its coordination service must error loudly, never degrade to a silent
+    single-host mesh.  Only a plain single host (no explicit arguments, no
+    cluster environment) skips jax.distributed entirely.
     """
     import jax
 
-    if coordinator_address is not None or (num_processes or 0) > 1:
+    explicit = (coordinator_address is not None
+                or (num_processes or 0) > 1 or process_id is not None)
+    if explicit:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    else:
-        try:
-            # TPU pods / managed clusters: endpoints auto-detected from the
-            # environment.  On a plain single host there is nothing to
-            # detect -- fall through to a local mesh.
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    elif _cluster_env_detected():
+        # Cluster environment without explicit args: endpoints must be
+        # auto-detectable; errors propagate (no silent degradation).
+        jax.distributed.initialize()
     n_hosts = jax.process_count()
     local = len(jax.local_devices())
     # data spans hosts; ty spans each host's local chips

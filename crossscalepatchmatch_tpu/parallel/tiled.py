@@ -52,27 +52,44 @@ from ..ops.plane_cost import window_plane_cost
 def extend_rows(x: jax.Array, halo: int, axis_name: str = "ty") -> jax.Array:
     """Prepend/append `halo` rows from the up/down mesh neighbors.
 
-    Devices at the mesh edge receive zeros (lax.ppermute semantics), which
-    callers mask via a row-validity vector.
+    Halos taller than one band are served by multi-hop exchange: the piece
+    of the band at distance j moves in a single distance-j ppermute, so a
+    halo of ceil(halo/Hs) bands costs that many ppermutes (all riding ICI
+    neighbors-of-neighbors), and far propagation rings / window halos are
+    never silently truncated by small bands.
+
+    Devices at the mesh edge receive zeros for rows past the global image
+    (lax.ppermute semantics), which callers mask via a row-validity vector.
     """
     n = jax.lax.axis_size(axis_name)
-    down = [(i, i + 1) for i in range(n - 1)]      # my bottom rows -> next
-    up = [(i + 1, i) for i in range(n - 1)]        # my top rows -> previous
-    from_above = jax.lax.ppermute(x[-halo:], axis_name, down)
-    from_below = jax.lax.ppermute(x[:halo], axis_name, up)
-    return jnp.concatenate([from_above, x, from_below], axis=0)
+    hs = x.shape[0]
+    hops = -(-halo // hs)                          # bands touched per side
+    rem = halo - (hops - 1) * hs                   # rows from the far band
+    above, below = [], []
+    for j in range(hops, 0, -1):                   # farthest band first
+        take = rem if j == hops else hs
+        down = [(i, i + j) for i in range(n - j)]  # my rows -> j-th below
+        up = [(i + j, i) for i in range(n - j)]    # my rows -> j-th above
+        above.append(jax.lax.ppermute(x[-take:], axis_name, down))
+        below.append(jax.lax.ppermute(x[:take], axis_name, up))
+    return jnp.concatenate(above + [x] + below[::-1], axis=0)
 
 
 def _extend_planes(abc: jax.Array, halo: int, hs: int) -> jax.Array:
     """Halo-exchange plane state, re-anchoring c into local coordinates.
 
-    A plane received from the shard above was expressed with row index
-    y + Hs, so c_local = c_remote + b*Hs; from below, c_local = c - b*Hs.
+    A plane received from the shard j bands above was expressed with row
+    index y + j*Hs, so c_local = c_remote + b*j*Hs; from below,
+    c_local = c - b*j*Hs.  j varies per extended row when the halo spans
+    multiple bands (multi-hop exchange).
     """
     ext = extend_rows(abc, halo)
     top, mid, bot = ext[:halo], ext[halo:halo + hs], ext[halo + hs:]
-    top = top.at[..., 2].add(top[..., 1] * hs)
-    bot = bot.at[..., 2].add(-bot[..., 1] * hs)
+    e = jnp.arange(halo)
+    j_top = ((halo - e + hs - 1) // hs).astype(abc.dtype)  # source distance
+    j_bot = (e // hs + 1).astype(abc.dtype)
+    top = top.at[..., 2].add(top[..., 1] * (j_top * hs)[:, None])
+    bot = bot.at[..., 2].add(-bot[..., 1] * (j_bot * hs)[:, None])
     return jnp.concatenate([top, mid, bot], axis=0)
 
 
@@ -99,16 +116,10 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     """
     hs, w, _ = l_loc.shape
     hw = cfg.half_wnd
-    # A far ring's plane halo comes from the immediate ty neighbor, so
-    # rings taller than the band are dropped on this mesh (their reach
-    # exceeds what one ppermute can deliver); the cycling stencil then
-    # cycles through the kept rings only.
-    import dataclasses
-    rings = tuple(f for f in cfg.far_offsets if f <= hs)
-    sweep_cfg = dataclasses.replace(cfg, far_offsets=rings)
-    far = max(max(rings, default=0), 1)
-    if hs < max(hw, far):
-        raise ValueError(f"row band {hs} smaller than halo {max(hw, far)}")
+    # Far rings taller than the band are served by multi-hop halo exchange
+    # (extend_rows), so the sweep stencil -- and therefore propagation
+    # reach -- is identical to the single-device schedule on any band size.
+    far = max(max(cfg.far_offsets, default=0), 1)
 
     ty = jax.lax.axis_index("ty")
     row0 = ty * hs
@@ -220,6 +231,12 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                         ybounds=yb0, slab=cfg.pallas_slab,
                         wnd_stride=cfg.prescreen_stride)
     else:
+        if cfg.use_cs and jax.default_backend() == "tpu":
+            # see models.patchmatch.make_cost_fns: the jnp upsampled
+            # cross-scale path crashes the XLA:TPU worker at wnd=35
+            raise RuntimeError(
+                "the jnp cross-scale plane cost is not supported on TPU; "
+                "use the fused kernel path (use_pallas=True) or run on CPU")
         from ..ops.plane_cost import (upsample_level, upsample_valid,
                                       window_plane_cost_upsampled)
 
@@ -269,7 +286,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     def sweep(state: pm.PMState, i: int) -> pm.PMState:
         ext_abc = jax.vmap(lambda a: _extend_planes(a, far, hs))(state.abc)
         cands = [jnp.roll(ext_abc, (dy, dx), axis=(1, 2))[:, far:far + hs]
-                 for dy, dx in pm._stencil(sweep_cfg, i)]
+                 for dy, dx in pm._stencil(cfg, i)]
         cand_abc = pm._prescreen(jnp.stack(cands, axis=1), sparse_fn)
         return pm._adopt(state, cand_abc, cost_fn(cand_abc))
 
@@ -313,12 +330,16 @@ def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
             "on-the-fly GrdPC/CSPC cost is single-device)")
     n_ty = mesh.shape["ty"]
 
-    # check_vma=False: pallas_call outputs carry no varying-axes metadata,
-    # which the vma checker (on by default) rejects under shard_map.
+    # check_vma only where it must be off: pallas_call outputs carry no
+    # varying-axes metadata, which the vma checker (on by default) rejects
+    # under shard_map -- but the jnp path keeps the checker so it still
+    # catches real sharding bugs there.
+    pallas_active = cfg.use_pallas and jax.default_backend() == "tpu"
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("data", "ty"), P("data", "ty"), P("data")),
-        out_specs=P("data", None, "ty", None), check_vma=False)
+        out_specs=P("data", None, "ty", None), check_vma=not pallas_active)
     def fn(l_blk, r_blk, seed_blk):
         return jax.vmap(
             lambda l1, r1, s: _pair_sharded(l1, r1, s, cfg, n_ty))(

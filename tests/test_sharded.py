@@ -53,6 +53,30 @@ class TestHaloExchange:
         np.testing.assert_array_equal(out[0, :2], np.zeros((2, 3)))
         np.testing.assert_array_equal(out[7, 6:], np.zeros((2, 3)))
 
+    def test_extend_rows_multi_hop(self):
+        # halo (10) taller than the band (4): served by 3-hop exchange,
+        # never truncated
+        mesh = make_mesh(1, 8)
+        halo = 10
+        x = jnp.arange(8 * 4 * 2, dtype=jnp.float32).reshape(8 * 4, 2)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        @jax.jit
+        def f(x):
+            return shard_map(lambda b: extend_rows(b, halo),
+                             mesh=mesh, in_specs=P("ty", None),
+                             out_specs=P("ty", None))(x)
+
+        out = np.asarray(f(x)).reshape(8, 4 + 2 * halo, 2)
+        xf = np.asarray(x)
+        # interior shard 4 (rows 16..19): extended = global rows 6..29
+        np.testing.assert_array_equal(out[4], xf[6:30])
+        # shard 1 (rows 4..7): top halo rows beyond the image are zero
+        want = np.concatenate([np.zeros((6, 2), np.float32), xf[:18]])
+        np.testing.assert_array_equal(out[1], want)
+
 
 @requires_8_devices
 class TestShardedPipeline:
@@ -67,7 +91,10 @@ class TestShardedPipeline:
         assert dis.shape == (1, 2, 64, 64)
         disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
         bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
-        assert bad < 0.2, f"sharded bad-pixel rate too high: {bad:.3f}"
+        # multi-hop halo exchange preserves the full far-ring stencil, so
+        # sharded quality must match the single-device threshold
+        # (tests/test_engine.py uses 0.15 on comparable scenes)
+        assert bad < 0.15, f"sharded bad-pixel rate too high: {bad:.3f}"
 
     def test_data_parallel_batch(self):
         pairs = [make_pair(h=32, w=48, max_dis=8, seed=s) for s in (1, 2)]
