@@ -51,6 +51,19 @@ def main():
         measure_baseline()
         return
     import jax
+    import os as _os
+    # persistent compile cache (env-var spelling is not
+    # honored by this JAX build -- set programmatically):
+    # repeat runs, and driver rounds with an unchanged
+    # kernel, skip the multi-minute XLA compile entirely
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      ".jax_cache"))
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -94,12 +107,34 @@ def main():
 
     vs_baseline = pairs_per_s * BASELINE_CPU_SECONDS_PER_PAIR
     print(f"bench: {dt*1e3:.0f} ms/pair", file=sys.stderr)
+
+    # Roofline: measured f32 VPU ceiling + analytic pipeline flop counts
+    # (utils.roofline).  semantic = the 2-tap lerp the reference semantics
+    # require; executed = the kernel's dense tent contraction (range: slab
+    # fast path .. full-dpad fallback, hit rate is data-dependent).
+    from crossscalepatchmatch_tpu.utils.roofline import (measure_vpu_peak,
+                                                         pipeline_flops)
+    vpu = measure_vpu_peak()
+    fl = pipeline_flops(cfg, h, w)
+    util_lo = fl["executed_slab"] / dt / vpu * 100.0
+    util_hi = fl["executed_full"] / dt / vpu * 100.0
+    mfu_sem = fl["semantic_flops"] / dt / vpu * 100.0
+    print(f"bench: VPU ceiling {vpu/1e12:.2f} Tops/s (measured fma); "
+          f"executed-work utilization {util_lo:.0f}-{util_hi:.0f}% of "
+          f"ceiling; semantic MFU {mfu_sem:.1f}%", file=sys.stderr)
     print(json.dumps({
         "metric": "stereo_pairs_per_second_per_chip",
         "value": round(pairs_per_s, 4),
         "unit": f"pairs/s (375x450, max_dis=60, GRD, vs {BASELINE_SOURCE} "
                 f"CPU baseline {BASELINE_CPU_SECONDS_PER_PAIR:.0f}s/pair)",
         "vs_baseline": round(vs_baseline, 2),
+        "flops_semantic_per_pair": round(fl["semantic_flops"]),
+        "flops_executed_per_pair": [round(fl["executed_slab"]),
+                                    round(fl["executed_full"])],
+        "hbm_bytes_per_pair": round(fl["hbm_bytes"]),
+        "vpu_peak_measured_ops_s": round(vpu),
+        "vpu_utilization_pct": [round(util_lo, 1), round(util_hi, 1)],
+        "mfu_semantic_pct": round(mfu_sem, 2),
     }))
 
 

@@ -23,6 +23,19 @@ import time
 
 def run(mesh, cfg, pairs_l, pairs_r, seeds):
     import jax
+    import os as _os
+    # persistent compile cache (env-var spelling is not
+    # honored by this JAX build -- set programmatically):
+    # repeat runs, and driver rounds with an unchanged
+    # kernel, skip the multi-minute XLA compile entirely
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      ".jax_cache"))
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes", 0)
 
     from crossscalepatchmatch_tpu.parallel.tiled import jit_run_batch_sharded
 

@@ -59,6 +59,109 @@ def load_state(path: str, cfg: CSPMConfig,
         return state, int(z["iteration"])
 
 
+def _shards_to_disk(path: str, arrs, iteration: int, cfg: CSPMConfig,
+                    seed_fp: int) -> None:
+    """Save the process-addressable shards of global arrays (one file per
+    process: multi-host safe, no cross-host gathering)."""
+    payload = {"iteration": np.int64(iteration), "seed": np.int64(seed_fp),
+               "cfg": np.bytes_(json.dumps(
+                   dataclasses.asdict(cfg), default=str,
+                   sort_keys=True).encode())}
+    for name, a in arrs.items():
+        for i, sh in enumerate(a.addressable_shards):
+            payload[f"{name}/{i}/data"] = np.asarray(sh.data)
+            payload[f"{name}/{i}/idx"] = np.array(
+                [s.indices(dim) for s, dim in zip(sh.index, a.shape)],
+                np.int64)
+        payload[f"{name}/shape"] = np.array(a.shape, np.int64)
+    tmp_fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".npz")
+    os.close(tmp_fd)
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def _shards_from_disk(path: str, names, mesh, specs, cfg: CSPMConfig,
+                      seed_fp: int):
+    """Rebuild global sharded arrays from this process's shard file; None
+    if absent or from a different run."""
+    from jax.sharding import NamedSharding
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        cfg_json = json.dumps(dataclasses.asdict(cfg), default=str,
+                              sort_keys=True)
+        if (z["cfg"].item().decode() != cfg_json
+                or int(z["seed"]) != seed_fp):
+            return None
+        out = []
+        for name, spec in zip(names, specs):
+            shape = tuple(int(v) for v in z[f"{name}/shape"])
+            by_index = {}
+            i = 0
+            while f"{name}/{i}/data" in z:
+                key = tuple(tuple(int(v) for v in t)
+                            for t in z[f"{name}/{i}/idx"])
+                by_index[key] = z[f"{name}/{i}/data"]
+                i += 1
+            sharding = NamedSharding(mesh, spec)
+
+            def cb(idx, d=by_index, shp=shape):
+                key = tuple(sl.indices(dim) for sl, dim in zip(idx, shp))
+                return jnp.asarray(d[key])
+
+            out.append(jax.make_array_from_callback(shape, sharding, cb))
+        return tuple(out), int(z["iteration"])
+
+
+def run_batch_sharded_resumable(l_bgr, r_bgr, seeds, cfg: CSPMConfig, mesh,
+                                ckpt_path: str):
+    """Sharded batch pipeline with per-iteration checkpointing of the
+    process-local PMState shards and bit-exact resume.
+
+    Each process writes `{ckpt_path}.proc{k}` holding only its addressable
+    (abc, cost) shards -- no cross-host gathering; a restarted job with the
+    same mesh layout reloads its own file.  Iteration keys are pre-split
+    from the per-pair seeds (parallel.tiled.run_batch_sharded_steps), so
+    the resumed run equals the uninterrupted one bit-for-bit.
+
+    Returns u8[B, 2, H, W] like run_batch_sharded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.tiled import run_batch_sharded_steps
+
+    tx_ax = "tx" if "tx" in dict(mesh.shape) else None
+    specs = (P("data", None, "ty", tx_ax, None),
+             P("data", None, "ty", tx_ax))
+    path = f"{ckpt_path}.proc{jax.process_index()}"
+    seed_fp = int(np.asarray(seeds)[0])
+
+    resumed = _shards_from_disk(path, ("abc", "cost"), mesh, specs, cfg,
+                                seed_fp)
+    if resumed is None:
+        state = run_batch_sharded_steps(l_bgr, r_bgr, seeds, cfg, mesh,
+                                        state=None, it_lo=0, it_hi=0)
+        start = 0
+        jax.block_until_ready(state)
+        _shards_to_disk(path, {"abc": state[0], "cost": state[1]}, 0, cfg,
+                        seed_fp)
+    else:
+        state, start = resumed
+
+    for it in range(start, cfg.max_iter):
+        state = run_batch_sharded_steps(l_bgr, r_bgr, seeds, cfg, mesh,
+                                        state=state, it_lo=it, it_hi=it + 1)
+        jax.block_until_ready(state)
+        _shards_to_disk(path, {"abc": state[0], "cost": state[1]}, it + 1,
+                        cfg, seed_fp)
+
+    return run_batch_sharded_steps(l_bgr, r_bgr, seeds, cfg, mesh,
+                                   state=state, it_lo=cfg.max_iter,
+                                   finalize=True)
+
+
 def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
                        seed: int = 0):
     """run_pair with per-iteration checkpointing and bit-exact resume.

@@ -140,6 +140,14 @@ class CSPMConfig:
     # Disparity-slab width for the kernel's fast path (multiple of 8;
     # 0 disables).  See ops.pallas.window_cost._kernel.
     pallas_slab: int = 32
+    # Disparity-lerp evaluation inside the kernel: "tent" is the dense
+    # sum_d vol*max(0, 1-|dq-d|) contraction; "tree" gathers the two taps
+    # with a log-depth select tree.  Counter-intuitively, "tent" measures
+    # 3x FASTER on TPU v5e (406 ms vs 1260 ms per K=8 cones-size eval):
+    # Mosaic lowers the tree's sublane-masked selects to far more than
+    # 1 op/element, while the tent's fma chain runs at the VPU ceiling.
+    # Values agree to f32 rounding.  See ops.pallas.window_cost.
+    pallas_gather: str = "tent"
 
     def __post_init__(self):
         if self.wnd_size % 2 != 1:
@@ -157,6 +165,10 @@ class CSPMConfig:
                 f"pallas_slab must be a non-negative multiple of 8 (the "
                 f"kernel's dynamic sublane slice must stay 8-aligned), got "
                 f"{self.pallas_slab}")
+        if self.pallas_gather not in ("tree", "tent"):
+            raise ValueError(
+                f"pallas_gather must be 'tree' or 'tent', got "
+                f"{self.pallas_gather!r}")
 
     @property
     def half_wnd(self) -> int:

@@ -56,11 +56,19 @@ def _smooth_noise(rng: np.random.Generator, h: int, w: int,
 
 
 def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
-              seed: int = 0, slanted: bool = True) -> StereoPair:
-    """Layered synthetic scene: background plane + 2 foreground objects.
+              seed: int = 0, slanted: bool = True, n_fg: int = 2,
+              texture_contrast: float = 1.0) -> StereoPair:
+    """Layered synthetic scene: background plane + n_fg foreground objects.
 
     Disparities stay within [1, max_dis - 1] so every non-occluded pixel is
     recoverable by the engine.
+
+    Args:
+      n_fg: foreground object count (2 default; 3-4 adds more depth
+        discontinuities -> occlusion-heavy scenes).
+      texture_contrast: scales texture contrast around its mean (1.0
+        default; ~0.3 gives low-texture scenes where the data term is
+        weak and aggregation/propagation must carry the solution).
     """
     rng = np.random.default_rng(seed)
     tex_w = w + max_dis + 4
@@ -76,17 +84,23 @@ def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
         bg = np.broadcast_to(bg, (h, w)).copy()
     else:
         bg = np.full((h, w), lo + 0.25 * span, np.float32)
-    mid = np.full((h, w), lo + 0.6 * span, np.float32)
-    fg = np.full((h, w), lo + 0.9 * span, np.float32)
-
-    mid_mask = np.zeros((h, w), bool)
-    mid_mask[h // 5: h // 2 + h // 8, w // 6: w // 2] = True
-    fg_mask = np.zeros((h, w), bool)
-    fg_mask[h // 2: h - h // 6, w // 2: w - w // 8] = True
+    layer_disps = [None]                      # bg handled separately
+    layer_masks = [None]
+    boxes = [                                 # (y0, y1, x0, x1, depth)
+        (h // 5, h // 2 + h // 8, w // 6, w // 2, 0.6),
+        (h // 2, h - h // 6, w // 2, w - w // 8, 0.9),
+        (h // 8, h // 3, w // 2 + w // 8, w - w // 12, 0.75),
+        (h // 2 + h // 8, h - h // 8, w // 12, w // 3, 0.95),
+    ][:max(1, min(n_fg, 4))]
+    for (y0, y1, x0, x1, dep) in boxes:
+        m = np.zeros((h, w), bool)
+        m[y0:y1, x0:x1] = True
+        layer_masks.append(m)
+        layer_disps.append(np.full((h, w), lo + dep * span, np.float32))
 
     disp_left = bg.copy()
-    disp_left[mid_mask] = mid[mid_mask]
-    disp_left[fg_mask] = fg[fg_mask]
+    for m, dsp in zip(layer_masks[1:], layer_disps[1:]):
+        disp_left[m] = dsp[m]
     if not slanted:
         disp_left = np.rint(disp_left)
 
@@ -94,15 +108,18 @@ def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
     def layer_tex(k):
         base = np.stack([_smooth_noise(rng, h, tex_w) for _ in range(3)], -1)
         tint = rng.uniform(0.4, 1.0, (1, 1, 3))
-        return np.clip(base * tint * 255.0, 0, 255)
+        tex = np.clip(base * tint * 255.0, 0, 255)
+        if texture_contrast != 1.0:
+            tex = np.clip(tex.mean()
+                          + (tex - tex.mean()) * texture_contrast, 0, 255)
+        return tex
 
-    tex_bg, tex_mid, tex_fg = layer_tex(0), layer_tex(1), layer_tex(2)
+    texs = [layer_tex(k) for k in range(1 + len(layer_masks) - 1)]
 
     label = np.zeros((h, w), np.int8)
-    label[mid_mask] = 1
-    label[fg_mask] = 2
+    for i, m in enumerate(layer_masks[1:], start=1):
+        label[m] = i
 
-    texs = [tex_bg, tex_mid, tex_fg]
     xs_i = np.arange(w)
 
     # Left view: sample each layer's texture at x + max_dis (left image
@@ -111,7 +128,7 @@ def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
     # in-bounds for both views).
     left = np.zeros((h, w, 3), np.float32)
     for y in range(h):
-        for lab in (0, 1, 2):
+        for lab in range(len(texs)):
             m = label[y] == lab
             left[y, m] = texs[lab][y, xs_i[m] + 2]
 

@@ -129,7 +129,8 @@ def make_cost_fns(cfg: CSPMConfig,
             return window_plane_cost_prepared(
                 prep, max_costs, abc2, half_wnd=cfg.half_wnd,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                slab=cfg.pallas_slab, wnd_stride=stride)
+                slab=cfg.pallas_slab, wnd_stride=stride,
+                tree=cfg.pallas_gather == "tree")
 
         cost_fn = functools.partial(kernel_fn, stride=1)
         sparse_fn = (functools.partial(kernel_fn,
@@ -148,7 +149,7 @@ def make_cost_fns(cfg: CSPMConfig,
             return cross_scale_plane_cost_prepared(
                 preps, max_costs_s, wgts, abc2, half_wnd=cfg.half_wnd,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                slab=cfg.pallas_slab)
+                slab=cfg.pallas_slab, tree=cfg.pallas_gather == "tree")
 
         return cost_fn, None
     if cfg.use_cs:

@@ -97,7 +97,8 @@ def fill_invalid(dis: jax.Array, abc: jax.Array, valid: jax.Array,
 
 def weighted_median(dis: jax.Array, imgs: jax.Array, valid: jax.Array,
                     cfg: CSPMConfig, center_row0: int = 0,
-                    out_h: int | None = None) -> jax.Array:
+                    out_h: int | None = None, center_col0: int = 0,
+                    out_w: int | None = None) -> jax.Array:
     """Color-weighted median of valid window disparities, applied at invalid
     pixels only (cs_patchmatch.cc:430-506).
 
@@ -106,18 +107,21 @@ def weighted_median(dis: jax.Array, imgs: jax.Array, valid: jax.Array,
     computes exactly that with 8 dense passes.
 
     Args:
-      dis / imgs / valid: u8[2, Ha, W] / u8[2, Ha, W, 3] / bool[2, Ha, W].
-        Ha may exceed the output height when the caller pre-extends rows
-        with shard halos (rows past the global border must carry valid=0,
-        which zero-weights them exactly like out-of-image window pixels).
-      center_row0: array row of output row 0 (halo depth; 0 single-device).
-      out_h: output height (defaults to Ha).
+      dis / imgs / valid: u8[2, Ha, Wa] / u8[2, Ha, Wa, 3] / bool[2, Ha, Wa].
+        Ha/Wa may exceed the output extent when the caller pre-extends
+        rows/columns with shard halos (pixels past the global border must
+        carry valid=0, which zero-weights them exactly like out-of-image
+        window pixels).
+      center_row0 / center_col0: array position of output pixel (0, 0)
+        (halo depth; 0 single-device).
+      out_h / out_w: output extent (defaults to Ha / Wa).
 
     Returns:
-      u8[2, out_h, W].
+      u8[2, out_h, out_w].
     """
-    two, ha, w = dis.shape
+    two, ha, wa = dis.shape
     h = out_h if out_h is not None else ha
+    w = out_w if out_w is not None else wa
     half_wnd = cfg.wnd_size // 2
     wnd = cfg.wnd_size
     inv_gamma = jnp.float32(1.0 / cfg.wmf_gamma)
@@ -130,7 +134,8 @@ def weighted_median(dis: jax.Array, imgs: jax.Array, valid: jax.Array,
             acc_thr, acc_tot = accs
             dy = o // wnd - half_wnd
             dx = o % wnd - half_wnd
-            start = (center_row0 + dy + half_wnd, dx + half_wnd)
+            start = (center_row0 + dy + half_wnd,
+                     center_col0 + dx + half_wnd)
             q_img = jax.lax.dynamic_slice(img_pad, (*start, 0), (h, w, 3))
             q_dis = jax.lax.dynamic_slice(dis_pad, start, (h, w))
             q_val = jax.lax.dynamic_slice(valid_pad, start, (h, w))
@@ -151,12 +156,15 @@ def weighted_median(dis: jax.Array, imgs: jax.Array, valid: jax.Array,
         dis_pad = jnp.pad(dis_v.astype(jnp.int32), half_wnd)
         # pad valid with 0 so out-of-image window pixels contribute nothing
         valid_pad = jnp.pad(valid_v.astype(jnp.float32), half_wnd)
-        center_img = jax.lax.slice_in_dim(img_i32, center_row0,
-                                          center_row0 + h, axis=0)
-        dis_out = jax.lax.slice_in_dim(dis_v, center_row0, center_row0 + h,
-                                       axis=0)
-        valid_out = jax.lax.slice_in_dim(valid_v, center_row0,
-                                         center_row0 + h, axis=0)
+        def out_block(x):
+            x = jax.lax.slice_in_dim(x, center_row0, center_row0 + h,
+                                     axis=0)
+            return jax.lax.slice_in_dim(x, center_col0, center_col0 + w,
+                                        axis=1)
+
+        center_img = out_block(img_i32)
+        dis_out = out_block(dis_v)
+        valid_out = out_block(valid_v)
 
         zero = (dis_out * 0).astype(jnp.int32)
         # total weight (threshold 255 includes everything valid)

@@ -45,12 +45,62 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _tree_gather(vol_q: jax.Array, f: jax.Array) -> jax.Array:
+    """out[y, x] = vol_q[y, f[y, x], x] via a log-depth select tree.
+
+    Mosaic has no per-pixel dynamic gather along the sublane axis, but the
+    gather can be built from log2(nd) levels of aligned-half selects: walk
+    the bits of f from the MSB down, at each level keeping the half of the
+    current (recursively aligned) block that bit selects.
+
+    MEASURED SLOWER than the dense tent contraction on TPU v5e despite
+    ~4x fewer nominal ops (per K=8 cones-size eval: tent 406 ms; tree with
+    selects all the way down 1260 ms -- sub-8 sublane slices cost Mosaic
+    relayouts per level; this aligned-to-8 variant 509-511 ms): Mosaic
+    lowers sublane-broadcast masked selects to multiple instructions per
+    element, while the tent's fma chain runs at the VPU ceiling.  Kept
+    selectable (config.pallas_gather="tree") as measurement documentation
+    and in case future Mosaic versions lower selects better; the
+    production default is "tent".
+
+    vol_q: f32[th, nd, tw] (nd a multiple of 8, NOT necessarily a power of
+    two -- non-pow2 nd is decomposed into descending pow2 chunks combined
+    with range selects).  f: i32[th, tw], clamped to [0, nd - 1] by the
+    caller; any value selects *some* slice (garbage is fine for lanes the
+    caller masks afterwards).
+    """
+    th, nd, tw = vol_q.shape
+    out = None
+    start = 0
+    rem = nd
+    while rem > 0:
+        p = 1 << (rem.bit_length() - 1)           # largest pow2 <= rem
+        cur = vol_q[:, start:start + p, :]
+        fr = jnp.clip(f - start, 0, p - 1)
+        half = p >> 1
+        # halving selects stay 8-sublane-aligned (sub-8 slices would cost
+        # Mosaic sublane relayouts per level); the last 3 bits resolve via
+        # a one-hot masked sum over the remaining aligned 8-block
+        while half >= 8:
+            m = ((fr & half) != 0)[:, None, :]
+            cur = jnp.where(m, cur[:, half:, :], cur[:, :half, :])
+            half >>= 1
+        nb = cur.shape[1]
+        d_io = jax.lax.broadcasted_iota(jnp.int32, (th, nb, tw), 1)
+        oh = d_io == (fr & (nb - 1))[:, None, :]
+        val = jnp.sum(jnp.where(oh, cur, 0.0), axis=1)
+        out = val if out is None else jnp.where(f >= start, val, out)
+        start += p
+        rem -= p
+    return out
+
+
 def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             img_tile, vol_tile, sems,
             *, hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, k: int,
             scale: int = 0, ws: int = 0, slab: int = 0,
-            wstride: int = 1):
+            wstride: int = 1, tree: bool = False):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -60,11 +110,13 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     abc_ref: f32[1, K, 4, th, tw] VMEM block -- (d_center, a, b, pad),
       d_center on the FINE grid (divided by 2^scale in here)
     maxc_ref: f32[2] SMEM scalar-prefetch -- per-view saturation values
-    yb_ref: i32[2] SMEM scalar-prefetch -- [ylo, yhi) row-validity bounds
-      in local row coordinates (scale 0 only).  (0, h) for a standalone
-      image; a spatially-sharded caller passes its band's global-border
-      clip so neighbor-halo rows count as valid image rows
-      (parallel.tiled) while rows past the global image border do not.
+    yb_ref: i32[4] SMEM scalar-prefetch -- [ylo, yhi, xlo, xhi) local
+      row/column validity bounds.  (0, hs<<s, 0, ws<<s) for a standalone
+      image; a spatially-sharded caller passes its block's global-border
+      clip so neighbor-halo rows/columns count as valid image pixels
+      (parallel.tiled) while pixels past the global image border do not.
+      For scale > 0 the interval encodes ((p + off) >> s) < n_s as the
+      fine-coordinate interval [-off, (n_s << s) - off).
     out_ref: f32[1, K, th, tw] VMEM block
     img_tile: f32[3, th+2mg, WT] VMEM scratch, WT = roundup(tw+2mg, 128)
       (dynamic lane-rotates need a 128-multiple lane dim; lanes past
@@ -152,11 +204,21 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
 
         def dx_loop(vol_dy, d0, nd, img_dy=img_dy, y_ok=y_ok, dy=dy):
-            """Accumulate all dx offsets with the tent contracted over
-            vol_dy's nd slices, whose first slice is disparity d0."""
-            d_io = jax.lax.broadcasted_iota(
-                jnp.int32, (th, nd, tw), 1).astype(jnp.float32)
-            d_io = d_io + d0.astype(jnp.float32) if nd != dpad else d_io
+            """Accumulate all dx offsets with the two-tap lerp contracted
+            over vol_dy's nd slices, whose first slice is disparity d0.
+
+            tree=True (default): per candidate, gather the floor/ceil
+            slices with _tree_gather and lerp -- the semantically exact
+            2-tap form.  tree=False: dense tent contraction
+            sum_d vol*max(0, 1-|dq-d|) over all nd slices (the original
+            formulation, kept for A/B measurement; same values up to f32
+            summation-order rounding).
+            """
+            if not tree:
+                d_io = jax.lax.broadcasted_iota(
+                    jnp.int32, (th, nd, tw), 1).astype(jnp.float32)
+                d_io = (d_io + d0.astype(jnp.float32) if nd != dpad
+                        else d_io)
 
             def dx_body(dxi, _):
                 dx = dxi * wstride + o_start
@@ -168,7 +230,7 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                       + jnp.abs(ctr[2] - q[2]))
                 # window pixel must map to a real (level-s) image pixel
                 fx = xs + dx * step
-                q_ok = y_ok & (fx >= 0) & ((fx >> scale) < ws)
+                q_ok = y_ok & (fx >= yb_ref[2]) & (fx < yb_ref[3])
                 wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
                 dxf = dx.astype(jnp.float32)
 
@@ -177,9 +239,20 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                           + params[kk][2] * dy)
                     f = jnp.trunc(dq)
                     in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
-                    tent = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
-                    val = jnp.sum(vol_q * tent, axis=1)
+                    if tree:
+                        fr = f.astype(jnp.int32) - d0
+                        v0 = _tree_gather(vol_q, jnp.clip(fr, 0, nd - 1))
+                        v1 = _tree_gather(vol_q,
+                                          jnp.clip(fr + 1, 0, nd - 1))
+                        # identical arithmetic to the tent's two nonzero
+                        # taps (pre_ss_pc.cc:99-111 lerp)
+                        w0 = jnp.maximum(0.0, 1.0 - jnp.abs(dq - f))
+                        w1 = jnp.maximum(0.0, 1.0 - jnp.abs(dq - (f + 1.0)))
+                        val = w0 * v0 + w1 * v1
+                    else:
+                        tent = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
+                        val = jnp.sum(vol_q * tent, axis=1)
                     val = jnp.where(in_range, val, maxc)
                     out_ref[0, kk] += wgt * val
                 return 0
@@ -257,7 +330,9 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
                     th: int = 64, tw: int = 128, scale: int = 0,
                     fine_hw: tuple | None = None,
                     rows_extended: bool = False,
-                    row0: jax.Array | int = 0) -> PreparedVolumes:
+                    cols_extended: bool = False,
+                    row0: jax.Array | int = 0,
+                    col0: jax.Array | int = 0) -> PreparedVolumes:
     """Lay out images/volumes for the kernel (pad + D-to-sublane transpose).
 
     For scale > 0 the level-s arrays are nearest-upsampled to the fine grid
@@ -271,19 +346,22 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
       vols: f32[2, Hs, Ws, Ds] per-view level-s cost volumes.
       scale: pyramid level s (arrays are at level-s resolution).
       fine_hw: level-0 (H, W); defaults to the input shape (scale 0).
-      rows_extended: the input rows already carry a half_wnd halo on each
-        side (a spatially-sharded caller's ppermute-extended band); only
-        valid with scale 0.
-      row0: global fine row of the first output row (scale > 0 only) -- a
-        spatially-sharded caller passes its band offset so the upsampled
-        slices of the replicated level-s arrays cover the band's rows.
-        May be traced (inside shard_map).
+      rows_extended / cols_extended: the input rows/columns already carry
+        a half_wnd halo on each side (a spatially-sharded caller's
+        ppermute-extended block); only valid with scale 0.
+      row0 / col0: global fine row/column of the first output row/column
+        (scale > 0 only) -- a spatially-sharded caller passes its block
+        offset so the upsampled slices of the replicated level-s arrays
+        cover the block.  May be traced (inside shard_map).
     """
     nv, hs, ws, _ = imgs_u8.shape
     d = vols.shape[-1]
-    if rows_extended:
+    if rows_extended or cols_extended:
         assert scale == 0 and fine_hw is None
-        hs -= 2 * half_wnd
+        if rows_extended:
+            hs -= 2 * half_wnd
+        if cols_extended:
+            ws -= 2 * half_wnd
     h, w = fine_hw if fine_hw is not None else (hs, ws)
     step = 1 << scale
     mg = half_wnd * step
@@ -298,21 +376,16 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
     img_f = jnp.moveaxis(imgs_u8.astype(jnp.float32), -1, 1)  # [2,3,Hs,Ws]
     vol_t = jnp.moveaxis(vols, -1, 2)                         # [2,Hs,D,Ws]
     vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, dpad - d), (0, 0)))
-    if rows_extended:
-        # rows already carry an mg halo each side (sharded caller);
-        # only the bottom tile round-up and the column margins are added
-        img_p = jnp.pad(img_f, ((0, 0), (0, 0), (0, hp - h - 2 * mg),
-                                (mg, wp - w - mg)))
-        vol_p = jnp.pad(vol_t, ((0, 0), (0, hp - h - 2 * mg), (0, 0),
-                                (mg, wp - w - mg)))
-    elif scale == 0:
-        img_p = jnp.pad(img_f, ((0, 0), (0, 0), (mg, hp - h - mg),
-                                (mg, wp - w - mg)))
-        vol_p = jnp.pad(vol_t, ((0, 0), (mg, hp - h - mg), (0, 0),
-                                (mg, wp - w - mg)))
+    if scale == 0:
+        # a pre-extended axis already carries its mg halo (sharded caller):
+        # add only the far-side tile round-up there
+        rpad = (0, hp - h - 2 * mg) if rows_extended else (mg, hp - h - mg)
+        cpad = (0, wp - w - 2 * mg) if cols_extended else (mg, wp - w - mg)
+        img_p = jnp.pad(img_f, ((0, 0), (0, 0), rpad, cpad))
+        vol_p = jnp.pad(vol_t, ((0, 0), rpad, (0, 0), cpad))
     else:
         ry = jnp.clip((jnp.arange(hp) - mg + row0) >> scale, 0, hs - 1)
-        rx = jnp.clip((jnp.arange(wp) - mg) >> scale, 0, ws - 1)
+        rx = jnp.clip((jnp.arange(wp) - mg + col0) >> scale, 0, ws - 1)
         img_p = jnp.take(jnp.take(img_f, ry, axis=2), rx, axis=3)
         vol_p = jnp.take(jnp.take(vol_t, ry, axis=1), rx, axis=3)
     return PreparedVolumes(img_p, vol_p, h, w, d, scale, hs, ws)
@@ -348,7 +421,8 @@ def plane_params(abc: jax.Array, *, th: int = 64,
 def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
             tw: int, slab: int = 32, wnd_stride: int = 1,
-            ybounds: jax.Array | None = None) -> jax.Array:
+            ybounds: jax.Array | None = None,
+            tree: bool = False) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level."""
     h, w, d = prep.h, prep.w, prep.d
     img_p, vol_p = prep.img_p, prep.vol_p
@@ -366,15 +440,17 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
 
     maxc = max_costs.astype(jnp.float32)
     if ybounds is None:
-        # standalone image: rows [0, h) at scale 0; at scale s rows are
-        # valid while they map to a real level-s row, i.e. [0, hs << s)
-        ybounds = jnp.array([0, h if prep.scale == 0
-                             else prep.hs << prep.scale], jnp.int32)
+        # standalone image: pixels valid while they map to a real level-s
+        # pixel, i.e. rows [0, hs << s) x cols [0, ws << s) (at scale 0
+        # this is [0, h) x [0, w))
+        ybounds = jnp.array([0, prep.hs << prep.scale,
+                             0, prep.ws << prep.scale], jnp.int32)
 
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
-        scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride)
+        scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride,
+        tree=tree)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -417,8 +493,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                max_dis: int, gamma: float, th: int = 64,
                                tw: int = 128, slab: int = 32,
                                wnd_stride: int = 1,
-                               ybounds: jax.Array | None = None
-                               ) -> jax.Array:
+                               ybounds: jax.Array | None = None,
+                               tree: bool = False) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -435,7 +511,7 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
-                   wnd_stride=wnd_stride, ybounds=ybounds)
+                   wnd_stride=wnd_stride, ybounds=ybounds, tree=tree)
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
@@ -454,7 +530,8 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
                                     abc: jax.Array, *, half_wnd: int,
                                     max_dis: int, gamma: float, th: int = 64,
                                     tw: int = 128, slab: int = 32,
-                                    ybounds_s=None) -> jax.Array:
+                                    ybounds_s=None,
+                                    tree: bool = False) -> jax.Array:
     """Cross-scale aggregated plane cost, fused kernel per level.
 
     sum_s wgt_s * cost_s with the plane re-anchored through the level-s
@@ -479,7 +556,7 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
         yb = None if ybounds_s is None else ybounds_s[s]
         cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab,
-                         ybounds=yb)
+                         ybounds=yb, tree=tree)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2
@@ -487,24 +564,26 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "half_wnd", "max_dis", "gamma", "th", "tw"))
+    "half_wnd", "max_dis", "gamma", "th", "tw", "tree"))
 def window_plane_cost_pallas(imgs_u8: jax.Array, vols: jax.Array,
                              max_costs: jax.Array, abc: jax.Array, *,
                              half_wnd: int, max_dis: int, gamma: float,
-                             th: int = 64, tw: int = 128) -> jax.Array:
+                             th: int = 64, tw: int = 128,
+                             tree: bool = False) -> jax.Array:
     """One-shot convenience wrapper: prepare + evaluate (used by tests)."""
     prep = prepare_volumes(imgs_u8, vols, half_wnd=half_wnd, th=th, tw=tw)
     return window_plane_cost_prepared(prep, max_costs, abc,
                                       half_wnd=half_wnd, max_dis=max_dis,
-                                      gamma=gamma, th=th, tw=tw)
+                                      gamma=gamma, th=th, tw=tw, tree=tree)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "scale_wgts", "half_wnd", "max_dis", "gamma", "th", "tw"))
+    "scale_wgts", "half_wnd", "max_dis", "gamma", "th", "tw", "tree"))
 def cross_scale_plane_cost_pallas(pyr_imgs, pyr_vols, pyr_max_costs,
                                   scale_wgts, abc: jax.Array, *,
                                   half_wnd: int, max_dis: int, gamma: float,
-                                  th: int = 64, tw: int = 128) -> jax.Array:
+                                  th: int = 64, tw: int = 128,
+                                  tree: bool = False) -> jax.Array:
     """One-shot convenience wrapper: prepare + evaluate (used by tests).
 
     pyr_imgs / pyr_vols / pyr_max_costs are per-level tuples (level 0
@@ -514,4 +593,4 @@ def cross_scale_plane_cost_pallas(pyr_imgs, pyr_vols, pyr_max_costs,
                                 th=th, tw=tw)
     return cross_scale_plane_cost_prepared(
         preps, pyr_max_costs, scale_wgts, abc, half_wnd=half_wnd,
-        max_dis=max_dis, gamma=gamma, th=th, tw=tw)
+        max_dis=max_dis, gamma=gamma, th=th, tw=tw, tree=tree)

@@ -68,6 +68,8 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
                       abc: jax.Array, *, half_wnd: int, max_dis: int,
                       gamma: float, center_row0: int = 0,
                       row_valid: jax.Array | None = None,
+                      center_col0: int = 0,
+                      col_valid: jax.Array | None = None,
                       wnd_stride: int = 1) -> jax.Array:
     """Single-scale, fine-grid plane cost for K candidate plane fields.
 
@@ -85,6 +87,8 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
         global image (halo rows received from a neighbor shard are valid;
         rows past the global border are not).  Defaults to all rows valid;
         rows outside [0, Ha) are always invalid.
+      center_col0 / col_valid: the column analogues, for callers whose
+        columns are also sharded (Wa may exceed the output width).
       wnd_stride: evaluate only every wnd_stride-th window offset per axis
         (candidate prescreening -- an approximation of the full cost used
         for ranking, NOT the reference semantics; keep 1 for true costs).
@@ -97,8 +101,8 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
     Returns:
       f32[K, H, W] aggregated window costs.
     """
-    ha, w, _ = img_u8.shape
-    k, h = abc.shape[0], abc.shape[-3]
+    ha, wa, _ = img_u8.shape
+    k, h, w = abc.shape[0], abc.shape[-3], abc.shape[-2]
     wnd = 2 * half_wnd + 1
     o_start = stride_start(half_wnd, wnd_stride)
     offs = [(dy, dx)
@@ -108,22 +112,25 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
     inv_gamma = jnp.float32(1.0 / gamma)
 
     # Embed the (a, b) fields and the per-center plane disparity into the
-    # array-row frame (identity when centers span the whole array).
+    # array frame (identity when centers span the whole array).
     ys_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     d_center = abc[..., 0] * xs_c + abc[..., 1] * ys_c + abc[..., 2]
-    if ha != h:
-        pad = ((0, 0), (center_row0, ha - center_row0 - h), (0, 0))
+    if ha != h or wa != w:
+        pad = ((0, 0), (center_row0, ha - center_row0 - h),
+               (center_col0, wa - center_col0 - w))
         a_f = jnp.pad(abc[..., 0], pad)
         b_f = jnp.pad(abc[..., 1], pad)
         d_f = jnp.pad(d_center, pad)
     else:
         a_f, b_f, d_f = abc[..., 0], abc[..., 1], d_center
 
-    ys = jax.lax.broadcasted_iota(jnp.int32, (ha, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (ha, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (ha, wa), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (ha, wa), 1)
     q_row_ok = (row_valid[:, None] if row_valid is not None
                 else jnp.ones((ha, 1), bool))
+    if col_valid is not None:
+        q_row_ok = q_row_ok & col_valid[None, :]
 
     n_per_row = len(range(o_start, half_wnd + 1, wnd_stride))
 
@@ -139,7 +146,7 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
         cy = ys - dy
         cx = xs - dx
         c_ok = ((cy >= center_row0) & (cy < center_row0 + h)
-                & (cx >= 0) & (cx < w))
+                & (cx >= center_col0) & (cx < center_col0 + w))
         m = c_ok & q_row_ok
 
         l1 = jnp.sum(jnp.abs(c_img - img_i32), axis=-1).astype(jnp.float32)
@@ -157,15 +164,22 @@ def window_plane_cost(img_u8: jax.Array, vol: jax.Array, max_cost: jax.Array,
         contrib = jnp.where(m, wgt * val, 0.0)
         return acc + jnp.roll(contrib, (-dy, -dx), axis=(-2, -1))
 
-    # derive the accumulator from abc so loop-carry sharding metadata
-    # (shard_map varying-axes) matches inside and outside the loop
-    acc0 = jnp.zeros((k, ha, w), jnp.float32) + 0.0 * d_f
+    # derive the accumulator from every body input so loop-carry sharding
+    # metadata (shard_map varying-axes) matches inside and outside the
+    # loop: the body's contribution varies over whatever mesh axes the
+    # planes, image, volume, saturation value, or validity masks vary over
+    z0 = (0.0 * d_f + 0.0 * img_i32[0, 0, 0].astype(jnp.float32)
+          + 0.0 * vol[0, 0, 0] + 0.0 * max_cost
+          + 0.0 * q_row_ok[0, 0].astype(jnp.float32))
+    acc0 = jnp.zeros((k, ha, wa), jnp.float32) + z0
     acc = jax.lax.fori_loop(0, len(offs), body, acc0)
-    return jax.lax.slice_in_dim(acc, center_row0, center_row0 + h, axis=1)
+    acc = jax.lax.slice_in_dim(acc, center_row0, center_row0 + h, axis=1)
+    return jax.lax.slice_in_dim(acc, center_col0, center_col0 + w, axis=2)
 
 
 def upsample_level(coarse: jax.Array, scale: int, half_wnd: int,
-                   fine_hw: tuple, row0: jax.Array | int = 0) -> jax.Array:
+                   fine_hw: tuple, row0: jax.Array | int = 0,
+                   col0: jax.Array | int = 0) -> jax.Array:
     """Nearest-neighbor upsample of a level-s array to the fine grid, with a
     half_wnd * 2^s margin on every side for wrap-free window rolls.
 
@@ -180,20 +194,21 @@ def upsample_level(coarse: jax.Array, scale: int, half_wnd: int,
 
     Returns:
       [(H + 2M), (W + 2M), ...] with M = half_wnd << scale; position
-      (M + y, M + x) holds coarse[(row0 + y) >> s, x >> s].
+      (M + y, M + x) holds coarse[(row0 + y) >> s, (col0 + x) >> s].
     """
     h, w = fine_hw
     step = 1 << scale
     m = half_wnd * step
     hs, ws = coarse.shape[0], coarse.shape[1]
     ry = jnp.clip((jnp.arange(-m, h + m) + row0) >> scale, 0, hs - 1)
-    rx = jnp.clip((jnp.arange(-m, w + m)) >> scale, 0, ws - 1)
+    rx = jnp.clip((jnp.arange(-m, w + m) + col0) >> scale, 0, ws - 1)
     return jnp.take(jnp.take(coarse, ry, axis=0), rx, axis=1)
 
 
 def upsample_valid(scale: int, half_wnd: int, fine_hw: tuple,
                    coarse_hw: tuple,
-                   row0: jax.Array | int = 0) -> jax.Array:
+                   row0: jax.Array | int = 0,
+                   col0: jax.Array | int = 0) -> jax.Array:
     """bool[(H+2M), (W+2M)]: padded-fine positions mapping to a real
     level-s pixel (the window-skip condition of pre_cs_pc.cc:152-159)."""
     h, w = fine_hw
@@ -201,7 +216,7 @@ def upsample_valid(scale: int, half_wnd: int, fine_hw: tuple,
     step = 1 << scale
     m = half_wnd * step
     fy = jnp.arange(-m, h + m) + row0
-    fx = jnp.arange(-m, w + m)
+    fx = jnp.arange(-m, w + m) + col0
     vy = (fy >= 0) & ((fy >> scale) < hs)
     vx = (fx >= 0) & ((fx >> scale) < ws)
     return vy[:, None] & vx[None, :]
@@ -284,7 +299,10 @@ def window_plane_cost_upsampled(img_up: jax.Array, vol_up: jax.Array,
         contrib = jnp.where(mask, wgt * val, 0.0)
         return acc + jnp.roll(contrib, (-sy, -sx), axis=(-2, -1))
 
-    acc0 = jnp.zeros((k, hp, wp), jnp.float32) + 0.0 * d_f
+    z0 = (0.0 * d_f + 0.0 * img_i32[0, 0, 0].astype(jnp.float32)
+          + 0.0 * vol_up[0, 0, 0] + 0.0 * max_cost_s
+          + 0.0 * valid_up[0, 0].astype(jnp.float32))
+    acc0 = jnp.zeros((k, hp, wp), jnp.float32) + z0
     acc = jax.lax.fori_loop(0, wnd * wnd, body, acc0)
     return acc[:, m:m + h, m:m + w]
 

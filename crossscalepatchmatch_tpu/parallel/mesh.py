@@ -22,17 +22,25 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(n_data: int = 1, n_ty: Optional[int] = None,
+def make_mesh(n_data: int = 1, n_ty: Optional[int] = None, n_tx: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (data, ty) mesh over the available devices."""
+    """Build a (data, ty, tx) mesh over the available devices.
+
+    "tx" shards image columns (2-D spatial tiling with column halo
+    exchange, parallel.tiled) -- useful for wide inputs (KITTI 1242 px)
+    where a row-only mesh would cap the per-pair device count at
+    H / band-height.  n_tx defaults to 1 (row bands only).
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_ty is None:
-        n_ty = len(devices) // n_data
-    if n_data * n_ty > len(devices):
+        n_ty = len(devices) // (n_data * n_tx)
+    n = n_data * n_ty * n_tx
+    if n > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_ty} needs more than {len(devices)} devices")
-    arr = np.asarray(devices[:n_data * n_ty]).reshape(n_data, n_ty)
-    return Mesh(arr, ("data", "ty"))
+            f"mesh {n_data}x{n_ty}x{n_tx} needs more than "
+            f"{len(devices)} devices")
+    arr = np.asarray(devices[:n]).reshape(n_data, n_ty, n_tx)
+    return Mesh(arr, ("data", "ty", "tx"))
 
 
 def _cluster_env_detected() -> bool:

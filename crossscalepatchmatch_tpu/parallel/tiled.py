@@ -1,23 +1,29 @@
-"""Spatially-tiled + data-parallel PatchMatch over a (data, ty) device mesh.
+"""Spatially-tiled + data-parallel PatchMatch over a (data, ty, tx) mesh.
 
 Sharding layout (SURVEY.md sections 2.3/5):
   * "data" shards independent stereo pairs (batch DP, rides DCN across
     hosts);
-  * "ty" shards the image rows of each pair into horizontal bands (spatial
-    tiling -- the stereo analogue of sequence parallelism), with halo
-    exchange over ICI neighbors via lax.ppermute:
-      - image + cost-volume halos: half_wnd (17 for wnd=35) rows, exchanged
-        once after the volume build;
-      - plane-state halos: max(far_offsets) rows, exchanged before every
-        propagation sweep;
+  * "ty" shards the image rows of each pair into horizontal bands and
+    "tx" the columns into blocks (2-D spatial tiling -- the stereo
+    analogue of sequence parallelism), with halo exchange over ICI
+    neighbors via lax.ppermute (multi-hop for halos taller than a block):
+      - image + cost-volume halos: half_wnd (17 for wnd=35) pixels,
+        exchanged once after the volume build;
+      - plane-state halos: max(far_offsets) pixels, exchanged before
+        every propagation sweep (rows and columns separately -- the
+        stencil is axis-aligned, so corners are never needed);
       - disparity/validity/image halos for the weighted-median, once.
-  * Both views of a pair live on the same shard: view propagation and the
-    LR check are x-axis gathers, so they never cross "ty" shards.
+  * Both views of a pair live on the same shard.  Row-wide x-gathers
+    (view propagation's warp, the LR check, scanline fill) stay on-shard
+    on a row-band mesh; with "tx" sharding they run on tx-all-gathered
+    full-width rows (u8 maps / plane rows -- tiny) and slice the local
+    block back out.
 
-Coordinate convention: each shard stores planes in *local-row* coordinates
-(d = a*x + b*y_local + c).  When a plane crosses a shard boundary during
-halo exchange its c is re-anchored (c +- b*Hs) so the same (a, b, c)
-convention holds everywhere; x coordinates are global (rows are full-width).
+Coordinate convention: each shard stores planes in *block-local* (x, y)
+coordinates (d = a*x_local + b*y_local + c).  When a plane crosses a
+shard boundary during halo exchange or a full-width gather, its c is
+re-anchored (c +- b*j*Hs rows, c +- a*j*Ws columns) so the same
+(a, b, c) convention holds everywhere.
 
 Row-local pieces (GRD cost volume build: color diffs + x-Sobel; view
 propagation; refinement; LR check; scanline fill) run unchanged on each
@@ -49,34 +55,49 @@ from ..ops.color import bgr_to_rgb
 from ..ops.plane_cost import window_plane_cost
 
 
-def extend_rows(x: jax.Array, halo: int, axis_name: str = "ty") -> jax.Array:
-    """Prepend/append `halo` rows from the up/down mesh neighbors.
+def extend_axis(x: jax.Array, halo: int, axis: int,
+                axis_name: str) -> jax.Array:
+    """Prepend/append `halo` slices along `axis` from the mesh neighbors
+    on `axis_name`.
 
-    Halos taller than one band are served by multi-hop exchange: the piece
-    of the band at distance j moves in a single distance-j ppermute, so a
-    halo of ceil(halo/Hs) bands costs that many ppermutes (all riding ICI
+    Halos taller than one block are served by multi-hop exchange: the piece
+    of the block at distance j moves in a single distance-j ppermute, so a
+    halo of ceil(halo/n) blocks costs that many ppermutes (all riding ICI
     neighbors-of-neighbors), and far propagation rings / window halos are
-    never silently truncated by small bands.
+    never silently truncated by small blocks.
 
-    Devices at the mesh edge receive zeros for rows past the global image
-    (lax.ppermute semantics), which callers mask via a row-validity vector.
+    Devices at the mesh edge receive zeros for slices past the global image
+    (lax.ppermute semantics), which callers mask via a validity vector.
     """
     n = jax.lax.axis_size(axis_name)
-    hs = x.shape[0]
-    hops = -(-halo // hs)                          # bands touched per side
-    rem = halo - (hops - 1) * hs                   # rows from the far band
-    above, below = [], []
-    for j in range(hops, 0, -1):                   # farthest band first
-        take = rem if j == hops else hs
-        down = [(i, i + j) for i in range(n - j)]  # my rows -> j-th below
-        up = [(i + j, i) for i in range(n - j)]    # my rows -> j-th above
-        above.append(jax.lax.ppermute(x[-take:], axis_name, down))
-        below.append(jax.lax.ppermute(x[:take], axis_name, up))
-    return jnp.concatenate(above + [x] + below[::-1], axis=0)
+    size = x.shape[axis]
+    hops = -(-halo // size)                        # blocks touched per side
+    rem = halo - (hops - 1) * size                 # slices from the far one
+    lo, hi = [], []
+    for j in range(hops, 0, -1):                   # farthest block first
+        take = rem if j == hops else size
+        fwd = [(i, i + j) for i in range(n - j)]   # my slices -> j-th next
+        bwd = [(i + j, i) for i in range(n - j)]   # my slices -> j-th prev
+        tail = jax.lax.slice_in_dim(x, size - take, size, axis=axis)
+        head = jax.lax.slice_in_dim(x, 0, take, axis=axis)
+        lo.append(jax.lax.ppermute(tail, axis_name, fwd))
+        hi.append(jax.lax.ppermute(head, axis_name, bwd))
+    return jnp.concatenate(lo + [x] + hi[::-1], axis=axis)
+
+
+def extend_rows(x: jax.Array, halo: int, axis_name: str = "ty") -> jax.Array:
+    """extend_axis over the leading (row) axis."""
+    return extend_axis(x, halo, 0, axis_name)
+
+
+def extend_cols(x: jax.Array, halo: int, axis_name: str = "tx") -> jax.Array:
+    """extend_axis over the second (column) axis."""
+    return extend_axis(x, halo, 1, axis_name)
 
 
 def _extend_planes(abc: jax.Array, halo: int, hs: int) -> jax.Array:
-    """Halo-exchange plane state, re-anchoring c into local coordinates.
+    """Halo-exchange plane state over rows, re-anchoring c into local
+    coordinates.
 
     A plane received from the shard j bands above was expressed with row
     index y + j*Hs, so c_local = c_remote + b*j*Hs; from below,
@@ -93,38 +114,83 @@ def _extend_planes(abc: jax.Array, halo: int, hs: int) -> jax.Array:
     return jnp.concatenate([top, mid, bot], axis=0)
 
 
+def _extend_planes_cols(abc: jax.Array, halo: int, ws: int) -> jax.Array:
+    """Column analogue of _extend_planes: a plane from the shard j blocks
+    left carried x + j*Ws, so c_local = c_remote + a*j*Ws (minus from the
+    right)."""
+    ext = extend_cols(abc, halo)
+    left = ext[:, :halo]
+    mid = ext[:, halo:halo + ws]
+    right = ext[:, halo + ws:]
+    e = jnp.arange(halo)
+    j_l = ((halo - e + ws - 1) // ws).astype(abc.dtype)
+    j_r = (e // ws + 1).astype(abc.dtype)
+    left = left.at[..., 2].add(left[..., 0] * (j_l * ws)[None, :])
+    right = right.at[..., 2].add(-right[..., 0] * (j_r * ws)[None, :])
+    return jnp.concatenate([left, mid, right], axis=1)
+
+
+def _ext_from_full(full: jax.Array, start: jax.Array, size: int,
+                   halo: int, axis: int = 0) -> jax.Array:
+    """Slices [start - halo, start + size + halo) of a replicated
+    full-extent array along `axis`, zero-filled outside the global image
+    (the gather analogue of extend_axis for data every shard holds in
+    full)."""
+    pads = [(0, 0)] * full.ndim
+    pads[axis] = (halo, halo)
+    pad = jnp.pad(full, pads)
+    return jax.lax.dynamic_slice_in_dim(pad, start, size + 2 * halo,
+                                        axis=axis)
+
+
 def _band_ext_from_full(full: jax.Array, row0: jax.Array, hs: int,
                         halo: int) -> jax.Array:
-    """Rows [row0 - halo, row0 + hs + halo) of a replicated full-height
-    array, zero-filled outside the global image (the gather analogue of
-    extend_rows for data every shard holds in full)."""
-    pad = jnp.pad(full, ((halo, halo),) + ((0, 0),) * (full.ndim - 1))
-    return jax.lax.dynamic_slice_in_dim(pad, row0, hs + 2 * halo, axis=0)
+    """_ext_from_full over rows (kept for callers/tests)."""
+    return _ext_from_full(full, row0, hs, halo, axis=0)
 
 
 def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
-                  cfg: CSPMConfig, n_ty: int) -> jax.Array:
-    """Full pipeline for one pair's local row band [Hs, W, 3] per view.
+                  cfg: CSPMConfig, n_ty: int, n_tx: int = 1,
+                  has_tx: bool = True, state_in=None, it_lo: int = 0,
+                  it_hi: int | None = None, finalize: bool = True):
+    """Full pipeline for one pair's local block [Hs, Ws, 3] per view on a
+    (ty, tx) spatial tile of the mesh.
 
-    Data placement: the fine-scale GRD volume is row-local and built on the
-    band; the census volume needs global row context (9x9 wrap borders,
+    Data placement: the fine-scale GRD volume is built from row-band
+    full-width views (an all_gather along "tx" -- the build needs up to
+    max_dis columns of cross-view context, and the views are tiny); the
+    census volume needs global row context (9x9 wrap borders,
     cen_cc.cc:30-43) and the cross-scale path needs whole-image pyramids,
-    so for those the (tiny) views are all-gathered along "ty" once and the
-    coarse per-scale volumes are built replicated on every shard -- coarse
-    levels cost a geometrically decaying fraction of the fine level and
-    sharding them would buy nothing (SURVEY.md section 7.8).
+    so for those the views are all-gathered along both spatial axes once
+    and the coarse per-scale volumes are built replicated on every shard --
+    coarse levels cost a geometrically decaying fraction of the fine level
+    and sharding them would buy nothing (SURVEY.md section 7.8).
+
+    Coordinates: planes are stored in block-local (x, y); halo exchange
+    and the full-width gathers re-anchor c across shard boundaries
+    (_extend_planes / _extend_planes_cols and the +- a*col0 shifts below).
+    Row-wide stages (view propagation's x-warp gather, the LR check and
+    scanline fill) run on tx-all-gathered full-width rows and slice the
+    local columns back out.
     """
-    hs, w, _ = l_loc.shape
+    hs, ws, _ = l_loc.shape
     hw = cfg.half_wnd
-    # Far rings taller than the band are served by multi-hop halo exchange
-    # (extend_rows), so the sweep stencil -- and therefore propagation
-    # reach -- is identical to the single-device schedule on any band size.
+    # Far rings taller than the block are served by multi-hop halo exchange
+    # (extend_axis), so the sweep stencil -- and therefore propagation
+    # reach -- is identical to the single-device schedule on any block size.
     far = max(max(cfg.far_offsets, default=0), 1)
 
     ty = jax.lax.axis_index("ty")
+    # axis_index even on a size-1 "tx" axis: the key (and so the whole
+    # optimizer state) then carries the tx varying-axis tag, which keeps
+    # the scan-carry vma stable once image-derived costs (sharded over tx
+    # by the mesh) enter the state
+    tx = jax.lax.axis_index("tx") if has_tx else 0
     row0 = ty * hs
+    col0 = tx * ws
     h_glob = n_ty * hs
-    key = jax.random.fold_in(jax.random.PRNGKey(seed), ty)
+    w_glob = n_tx * ws
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), ty * n_tx + tx)
     levels = cfg.scale_num if cfg.use_cs else 1
     from ..config import Aggregator
     from ..ops.cost_volume import aggregate_volume
@@ -132,37 +198,63 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     # aggregation filters span rows, so they also need the full views
     need_full = (cfg.use_cs or cfg.cost_method != CostMethod.GRD
                  or aggregated)
+    spatial_axes = ("ty", "tx") if n_tx > 1 else ("ty",)
 
     imgs = jnp.stack([l_loc, r_loc])
+    if n_tx > 1:
+        # full-width row bands [2, Hs, W, 3] (view-prop / LR / fill need
+        # whole rows; the GRD volume build needs max_dis columns of
+        # context)
+        imgs_roww = jax.lax.all_gather(imgs, "tx", axis=2, tiled=True)
+    else:
+        imgs_roww = imgs
     if need_full:
-        full_imgs = jax.lax.all_gather(imgs, "ty", axis=1, tiled=True)
+        full_imgs = jax.lax.all_gather(imgs_roww, "ty", axis=1, tiled=True)
+
+    def _col_block(x, halo):
+        """Local columns [col0 - halo, col0 + ws + halo) of a full-width
+        per-view array [2, R, W, ...]."""
+        if n_tx == 1:
+            return x
+        return jax.vmap(
+            lambda v: _ext_from_full(v, col0, ws, halo, axis=1))(x)
 
     # --- fine-scale volumes + global saturation value ----------------------
     if cfg.cost_method == CostMethod.GRD and not aggregated:
-        # row-local build; halos exchanged with ICI neighbors
-        l_rgb, r_rgb = bgr_to_rgb(l_loc), bgr_to_rgb(r_loc)
-        vols = jnp.stack(
+        # row-band build (full width); column block + halos sliced out,
+        # row halos exchanged with ICI neighbors
+        l_rgb = bgr_to_rgb(imgs_roww[0])
+        r_rgb = bgr_to_rgb(imgs_roww[1])
+        vols_roww = jnp.stack(
             [build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=False),
              build_volume(l_rgb, r_rgb, cfg.max_dis, cfg, right=True)])
-        ext_vols = jax.vmap(lambda x: extend_rows(x, hw))(vols)
+        vols_cb = _col_block(vols_roww, hw)
+        ext_vols = jax.vmap(lambda x: extend_rows(x, hw))(vols_cb)
+        vols = vols_cb[:, :, hw:hw + ws] if n_tx > 1 else vols_cb
     else:
         # census wraps at global borders and aggregation filters span
-        # rows: build from the gathered views, slice the band + halo
+        # rows: build from the gathered views, slice the block + halo
         lf, rf = bgr_to_rgb(full_imgs[0]), bgr_to_rgb(full_imgs[1])
         vl = build_volume(lf, rf, cfg.max_dis, cfg, right=False)
         vr = build_volume(lf, rf, cfg.max_dis, cfg, right=True)
         vl = aggregate_volume(vl, full_imgs[0], cfg)
         vr = aggregate_volume(vr, full_imgs[1], cfg)
         vols_full = jnp.stack([vl, vr])
-        ext_vols = jax.vmap(
-            lambda x: _band_ext_from_full(x, row0, hs, hw))(vols_full)
-        vols = ext_vols[:, hw:hw + hs]
-    max_cost = jax.lax.pmax(jnp.max(vols, axis=(1, 2, 3)), "ty")  # [2]
+        ext_vols = _col_block(
+            jax.vmap(lambda x: _ext_from_full(x, row0, hs, hw))(vols_full),
+            hw)
+        vols = ext_vols[:, hw:hw + hs,
+                        hw:hw + ws] if n_tx > 1 else ext_vols[:, hw:hw + hs]
+    max_cost = jax.lax.pmax(jnp.max(vols, axis=(1, 2, 3)),
+                            spatial_axes)  # [2]
 
-    # --- static halos: image + volume, and row validity -------------------
-    ext_imgs = jax.vmap(lambda x: extend_rows(x, hw))(imgs)
+    # --- static halos: image + volume, and row/column validity -------------
+    imgs_cb = _col_block(imgs_roww, hw)
+    ext_imgs = jax.vmap(lambda x: extend_rows(x, hw))(imgs_cb)
     g_row = row0 + jnp.arange(-hw, hs + hw)
     row_valid = (g_row >= 0) & (g_row < h_glob)
+    g_col = col0 + jnp.arange(-hw, ws + hw)
+    col_valid = (g_col >= 0) & (g_col < w_glob)
 
     # --- coarse scales: replicated pyramids + volumes ----------------------
     if cfg.use_cs:
@@ -175,53 +267,59 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                      scale_weights(levels, cfg.reg_lambda))
         coarse_imgs, coarse_vols, coarse_mcs = [], [], []
         md = cfg.max_dis
-        for s in range(1, levels):
+        for scl in range(1, levels):
             md //= 2
-            ls, rs = bgr_to_rgb(l_pyr[s]), bgr_to_rgb(r_pyr[s])
+            ls, rs = bgr_to_rgb(l_pyr[scl]), bgr_to_rgb(r_pyr[scl])
             v_s = jnp.stack(
                 [aggregate_volume(build_volume(ls, rs, md, cfg, right=False),
-                                  l_pyr[s], cfg),
+                                  l_pyr[scl], cfg),
                  aggregate_volume(build_volume(ls, rs, md, cfg, right=True),
-                                  r_pyr[s], cfg)])
-            coarse_imgs.append(jnp.stack([l_pyr[s], r_pyr[s]]))
+                                  r_pyr[scl], cfg)])
+            coarse_imgs.append(jnp.stack([l_pyr[scl], r_pyr[scl]]))
             coarse_vols.append(v_s)
             coarse_mcs.append(jnp.max(v_s, axis=(1, 2, 3)))
 
     sparse_fn = None   # strided prescreen evaluator (single-scale only)
     if cfg.use_pallas and jax.default_backend() == "tpu":
-        # Fused kernel on the band: neighbor-halo rows are valid image
-        # rows, rows past the global border are not -- expressed as the
-        # [ylo, yhi) local-row interval scalar-prefetched into the kernel.
+        # Fused kernel on the block: neighbor-halo rows/columns are valid
+        # image pixels, pixels past the global border are not -- expressed
+        # as the [ylo, yhi, xlo, xhi) local interval scalar-prefetched
+        # into the kernel.
         from ..ops.pallas.window_cost import (
             cross_scale_plane_cost_prepared, prepare_volumes,
             window_plane_cost_prepared)
         prep0 = prepare_volumes(ext_imgs, ext_vols, half_wnd=hw,
-                                rows_extended=True)
-        yb0 = jnp.stack([-row0, h_glob - row0]).astype(jnp.int32)
+                                rows_extended=True,
+                                cols_extended=n_tx > 1)
+        yb0 = jnp.stack([-row0, h_glob - row0,
+                         -col0, w_glob - col0]).astype(jnp.int32)
         if cfg.use_cs:
             preps = [prep0]
             ybounds_s = [yb0]
             mcs = [max_cost]
-            for s in range(1, levels):
+            for scl in range(1, levels):
                 preps.append(prepare_volumes(
-                    coarse_imgs[s - 1], coarse_vols[s - 1], half_wnd=hw,
-                    scale=s, fine_hw=(hs, w), row0=row0))
-                hs_s = coarse_imgs[s - 1].shape[1]
-                ybounds_s.append(
-                    jnp.stack([-row0, (hs_s << s) - row0]).astype(jnp.int32))
-                mcs.append(coarse_mcs[s - 1])
+                    coarse_imgs[scl - 1], coarse_vols[scl - 1], half_wnd=hw,
+                    scale=scl, fine_hw=(hs, ws), row0=row0, col0=col0))
+                hs_s, ws_s = coarse_imgs[scl - 1].shape[1:3]
+                ybounds_s.append(jnp.stack(
+                    [-row0, (hs_s << scl) - row0,
+                     -col0, (ws_s << scl) - col0]).astype(jnp.int32))
+                mcs.append(coarse_mcs[scl - 1])
 
             def cost_fn(abc2: jax.Array) -> jax.Array:
                 return cross_scale_plane_cost_prepared(
                     preps, mcs, wgts, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                    ybounds_s=ybounds_s, slab=cfg.pallas_slab)
+                    ybounds_s=ybounds_s, slab=cfg.pallas_slab,
+                    tree=cfg.pallas_gather == "tree")
         else:
             def cost_fn(abc2: jax.Array) -> jax.Array:
                 return window_plane_cost_prepared(
                     prep0, max_cost, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0,
-                    slab=cfg.pallas_slab)
+                    slab=cfg.pallas_slab,
+                    tree=cfg.pallas_gather == "tree")
 
             if cfg.prescreen_stride > 1:
                 def sparse_fn(abc2: jax.Array) -> jax.Array:
@@ -229,7 +327,8 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                         prep0, max_cost, abc2, half_wnd=hw,
                         max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                         ybounds=yb0, slab=cfg.pallas_slab,
-                        wnd_stride=cfg.prescreen_stride)
+                        wnd_stride=cfg.prescreen_stride,
+                        tree=cfg.pallas_gather == "tree")
     else:
         if cfg.use_cs and jax.default_backend() == "tpu":
             # see models.patchmatch.make_cost_fns: the jnp upsampled
@@ -239,77 +338,159 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                 "use the fused kernel path (use_pallas=True) or run on CPU")
         from ..ops.plane_cost import (upsample_level, upsample_valid,
                                       window_plane_cost_upsampled)
+        jnp_kw = dict(center_row0=hw, row_valid=row_valid)
+        if n_tx > 1:
+            jnp_kw.update(center_col0=hw, col_valid=col_valid)
 
         def cost_fn(abc2: jax.Array) -> jax.Array:
             fn = functools.partial(window_plane_cost, half_wnd=hw,
                                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                                   center_row0=hw, row_valid=row_valid)
+                                   **jnp_kw)
             total = jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
             if not cfg.use_cs:
                 return total
             total = jnp.float32(wgts[0]) * total
             md = cfg.max_dis
-            for s in range(1, levels):
+            for scl in range(1, levels):
                 md //= 2
 
-                def per_view(img_s, vol_s, mc_s, abc, s=s, md=md):
-                    iu = upsample_level(img_s, s, hw, (hs, w), row0)
-                    vu = upsample_level(vol_s, s, hw, (hs, w), row0)
-                    valid = upsample_valid(s, hw, (hs, w),
-                                           img_s.shape[:2], row0)
+                def per_view(img_s, vol_s, mc_s, abc, scl=scl, md=md):
+                    iu = upsample_level(img_s, scl, hw, (hs, ws), row0, col0)
+                    vu = upsample_level(vol_s, scl, hw, (hs, ws), row0, col0)
+                    valid = upsample_valid(scl, hw, (hs, ws),
+                                           img_s.shape[:2], row0, col0)
                     return window_plane_cost_upsampled(
-                        iu, vu, valid, mc_s, abc, scale=s, half_wnd=hw,
+                        iu, vu, valid, mc_s, abc, scale=scl, half_wnd=hw,
                         max_dis_s=md, gamma=cfg.wgt_gamma)
 
                 cost_s = jax.vmap(per_view)(
-                    coarse_imgs[s - 1], coarse_vols[s - 1],
-                    coarse_mcs[s - 1], abc2)
-                total = total + jnp.float32(wgts[s]) * cost_s
+                    coarse_imgs[scl - 1], coarse_vols[scl - 1],
+                    coarse_mcs[scl - 1], abc2)
+                total = total + jnp.float32(wgts[scl]) * cost_s
             return total
 
         if cfg.prescreen_stride > 1 and not cfg.use_cs:
             def sparse_fn(abc2: jax.Array) -> jax.Array:
                 fn = functools.partial(
                     window_plane_cost, half_wnd=hw, max_dis=cfg.max_dis,
-                    gamma=cfg.wgt_gamma, center_row0=hw,
-                    row_valid=row_valid,
-                    wnd_stride=cfg.prescreen_stride)
+                    gamma=cfg.wgt_gamma,
+                    wnd_stride=cfg.prescreen_stride, **jnp_kw)
                 return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
 
     if cfg.use_cs:
         sparse_fn = None     # prescreen is single-scale only
 
     # --- optimizer --------------------------------------------------------
+    # Iteration-level slicing (it_lo/it_hi) + external state support the
+    # sharded checkpoint/resume driver (checkpoint.run_batch_sharded_
+    # resumable): keys are pre-split from the run seed once, so iterations
+    # it_lo..it_hi replay identically whether or not the process restarted.
     k_init, k_loop = jax.random.split(key)
-    state = pm.init_state(k_init, (hs, w), cost_fn, cfg)
+    if state_in is None:
+        state = pm.init_state(k_init, (hs, ws), cost_fn, cfg)
+    else:
+        state = pm.PMState(abc=state_in[0], cost=state_in[1])
 
     def sweep(state: pm.PMState, i: int) -> pm.PMState:
-        ext_abc = jax.vmap(lambda a: _extend_planes(a, far, hs))(state.abc)
-        cands = [jnp.roll(ext_abc, (dy, dx), axis=(1, 2))[:, far:far + hs]
-                 for dy, dx in pm._stencil(cfg, i)]
+        # the stencil is axis-aligned, so row offsets come from the
+        # row-extended field and (when columns are sharded) column offsets
+        # from the column-extended one; corners are never needed
+        ext_r = jax.vmap(lambda a: _extend_planes(a, far, hs))(state.abc)
+        if n_tx > 1:
+            ext_c = jax.vmap(
+                lambda a: _extend_planes_cols(a, far, ws))(state.abc)
+        cands = []
+        for dy, dx in pm._stencil(cfg, i):
+            if dx != 0 and n_tx > 1:
+                cands.append(jnp.roll(ext_c, dx, axis=2)[:, :,
+                                                         far:far + ws])
+            else:
+                cands.append(jnp.roll(ext_r, (dy, dx),
+                                      axis=(1, 2))[:, far:far + hs])
         cand_abc = pm._prescreen(jnp.stack(cands, axis=1), sparse_fn)
+        return pm._adopt(state, cand_abc, cost_fn(cand_abc))
+
+    def _abc_global_x(abc):
+        """tx-all-gathered plane rows re-anchored to global x:
+        c_glob = c - a * (block * Ws)."""
+        abc_g = jax.lax.all_gather(abc, "tx", axis=2, tiled=True)
+        xoff = ((jnp.arange(w_glob) // ws) * ws).astype(jnp.float32)
+        return abc_g.at[..., 2].add(-abc_g[..., 0] * xoff[None, None, :])
+
+    def view_prop_tx(state: pm.PMState) -> pm.PMState:
+        """Cross-view plane transfer when columns are sharded: the x-warp
+        gather crosses tx shards, so it runs on full-width (global-x)
+        plane rows and the local column block is sliced back out
+        (semantics of models.patchmatch.view_propagation)."""
+        abc_g = _abc_global_x(state.abc)
+        ys = jax.lax.broadcasted_iota(jnp.float32, (hs, w_glob), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (hs, w_glob), 1)
+
+        def per_view(abc_v, abc_other, sign):
+            d_own = jnp.clip(plane.disparity_at(abc_v, xs, ys),
+                             0.0, cfg.max_dis - 1.0)
+            xw = (xs.astype(jnp.int32)
+                  + sign * jnp.rint(d_own).astype(jnp.int32)) % w_glob
+            src = jnp.take_along_axis(abc_other, xw[..., None], axis=1)
+            d_src = jnp.clip(
+                plane.disparity_at(src, xw.astype(jnp.float32), ys),
+                0.0, cfg.max_dis - 1.0)
+            return plane.reanchor(src, xs, ys, d_src)
+
+        cand = jnp.stack([per_view(abc_g[0], abc_g[1], -1),
+                          per_view(abc_g[1], abc_g[0], +1)])
+        cand = jax.lax.dynamic_slice_in_dim(cand, col0, ws, axis=2)
+        cand = cand.at[..., 2].add(cand[..., 0] * col0)   # back to local x
+        cand_abc = cand[:, None]
         return pm._adopt(state, cand_abc, cost_fn(cand_abc))
 
     def iteration(state, it_key):
         for i in range(cfg.prop_sweeps):
             state = sweep(state, i)
-        state = pm.view_propagation(state, cost_fn, cfg)
+        if n_tx > 1:
+            state = view_prop_tx(state)
+        else:
+            state = pm.view_propagation(state, cost_fn, cfg)
         state = pm.plane_refinement(state, it_key, cost_fn, cfg,
                                     sparse_fn=sparse_fn)
         return state, None
 
-    keys = jax.random.split(k_loop, cfg.max_iter)
-    state, _ = jax.lax.scan(iteration, state, keys)
+    keys = jax.random.split(k_loop, cfg.max_iter)[
+        it_lo:cfg.max_iter if it_hi is None else it_hi]
+    if keys.shape[0]:
+        state, _ = jax.lax.scan(iteration, state, keys)
+    if not finalize:
+        return state.abc, state.cost
 
     dis = pm.plane_to_disp(state.abc, cfg.dis_scale)
     if cfg.use_pp:
-        valid = pp.lr_check(dis, cfg)
-        dis = pp.fill_invalid(dis, state.abc, valid, cfg)
-        ext_dis = jax.vmap(lambda x: extend_rows(x, hw))(dis)
-        ext_valid = (jax.vmap(lambda x: extend_rows(x, hw))(valid)
-                     & row_valid[None, :, None])
+        if n_tx > 1:
+            # LR check and scanline fill are row-wide: run them on
+            # full-width gathered rows, slice the local block back out
+            dis_w = jax.lax.all_gather(dis, "tx", axis=2, tiled=True)
+            abc_w = _abc_global_x(state.abc)
+            valid_w = pp.lr_check(dis_w, cfg)
+            dis_w = pp.fill_invalid(dis_w, abc_w, valid_w, cfg)
+            dis = jax.lax.dynamic_slice_in_dim(dis_w, col0, ws, axis=2)
+            valid = jax.lax.dynamic_slice_in_dim(valid_w, col0, ws, axis=2)
+        else:
+            valid = pp.lr_check(dis, cfg)
+            dis = pp.fill_invalid(dis, state.abc, valid, cfg)
+
+        def ext_hw(x):
+            e = jax.vmap(lambda v: extend_rows(v, hw))(
+                jax.vmap(lambda v: extend_cols(v, hw))(x)
+                if n_tx > 1 else x)
+            return e
+
+        ext_dis = ext_hw(dis)
+        ext_valid = ext_hw(valid) & row_valid[None, :, None]
+        if n_tx > 1:
+            ext_valid = ext_valid & col_valid[None, None, :]
         dis = pp.weighted_median(ext_dis, ext_imgs, ext_valid, cfg,
-                                 center_row0=hw, out_h=hs)
+                                 center_row0=hw, out_h=hs,
+                                 center_col0=hw if n_tx > 1 else 0,
+                                 out_w=ws if n_tx > 1 else None)
     return dis
 
 
@@ -318,7 +499,8 @@ def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
     """Batched sharded pipeline.
 
     Args:
-      l_bgr / r_bgr: u8[B, H, W, 3]; B divisible by mesh "data", H by "ty".
+      l_bgr / r_bgr: u8[B, H, W, 3]; B divisible by mesh "data", H by
+        "ty", W by "tx" (when the mesh has a "tx" axis).
       seeds: i32[B].
 
     Returns:
@@ -328,24 +510,83 @@ def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
         raise NotImplementedError(
             "sharded path supports precomputed volumes only (the "
             "on-the-fly GrdPC/CSPC cost is single-device)")
-    n_ty = mesh.shape["ty"]
+    shape = dict(mesh.shape)
+    n_ty = shape["ty"]
+    n_tx = shape.get("tx", 1)
+    has_tx = "tx" in shape
 
     # check_vma only where it must be off: pallas_call outputs carry no
     # varying-axes metadata, which the vma checker (on by default) rejects
     # under shard_map -- but the jnp path keeps the checker so it still
     # catches real sharding bugs there.
     pallas_active = cfg.use_pallas and jax.default_backend() == "tpu"
+    img_spec = P("data", "ty", "tx") if has_tx else P("data", "ty")
+    out_spec = (P("data", None, "ty", "tx") if has_tx
+                else P("data", None, "ty", None))
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("data", "ty"), P("data", "ty"), P("data")),
-        out_specs=P("data", None, "ty", None), check_vma=not pallas_active)
+        in_specs=(img_spec, img_spec, P("data")),
+        out_specs=out_spec, check_vma=not pallas_active)
     def fn(l_blk, r_blk, seed_blk):
         return jax.vmap(
-            lambda l1, r1, s: _pair_sharded(l1, r1, s, cfg, n_ty))(
+            lambda l1, r1, s: _pair_sharded(l1, r1, s, cfg, n_ty, n_tx,
+                                            has_tx))(
                 l_blk, r_blk, seed_blk)
 
     return fn(l_bgr, r_bgr, seeds)
+
+
+def run_batch_sharded_steps(l_bgr: jax.Array, r_bgr: jax.Array,
+                            seeds: jax.Array, cfg: CSPMConfig, mesh: Mesh,
+                            state=None, it_lo: int = 0,
+                            it_hi: int | None = None,
+                            finalize: bool = False):
+    """Partial sharded pipeline for checkpoint/resume drivers.
+
+    Runs outer iterations [it_lo, it_hi) starting from `state` (a global
+    (abc u8?[B,2,H,W,3], cost [B,2,H,W]) pair sharded like the images, or
+    None for random init at iteration 0) and returns the updated state --
+    or, with finalize=True, the final disparity maps like
+    run_batch_sharded.  Iteration keys are pre-split from the seeds, so
+    composing calls over [0,a) then [a,b) reproduces the uninterrupted
+    run bit-exactly (same property as checkpoint.run_pair_resumable).
+    """
+    if not cfg.precompute_volume:
+        raise NotImplementedError(
+            "sharded path supports precomputed volumes only")
+    shape = dict(mesh.shape)
+    n_ty = shape["ty"]
+    n_tx = shape.get("tx", 1)
+    has_tx = "tx" in shape
+    pallas_active = cfg.use_pallas and jax.default_backend() == "tpu"
+    tx_ax = "tx" if has_tx else None
+    img_spec = P("data", "ty", tx_ax)
+    state_specs = (P("data", None, "ty", tx_ax, None),
+                   P("data", None, "ty", tx_ax))
+    out_specs = (P("data", None, "ty", tx_ax) if finalize else state_specs)
+    in_specs = (img_spec, img_spec, P("data"))
+    args = (l_bgr, r_bgr, seeds)
+    if state is not None:
+        in_specs = in_specs + (state_specs,)
+        args = args + (state,)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=not pallas_active)
+    def fn(l_blk, r_blk, seed_blk, *st):
+        st_blk = st[0] if st else None
+
+        def one(l1, r1, sd, *st1):
+            return _pair_sharded(l1, r1, sd, cfg, n_ty, n_tx, has_tx,
+                                 state_in=st1[0] if st1 else None,
+                                 it_lo=it_lo, it_hi=it_hi,
+                                 finalize=finalize)
+
+        if st_blk is not None:
+            return jax.vmap(one)(l_blk, r_blk, seed_blk, st_blk)
+        return jax.vmap(one)(l_blk, r_blk, seed_blk)
+
+    return fn(*args)
 
 
 def jit_run_batch_sharded(cfg: CSPMConfig, mesh: Mesh):

@@ -25,18 +25,27 @@ import time
 import numpy as np
 
 
-# (name, scene h, scene w, max_dis, dis_scale, cc, use_cs, use_pp)
+# (name, scene h, scene w, max_dis, dis_scale, cc, use_cs, use_pp,
+#  scene kwargs)
 # max_dis/dis_scale/cc/pp follow input.txt; scenes are scaled-down
 # synthetic stand-ins with matching disparity ranges.  Scenes are kept
 # large relative to the 35-px ASW window (on ~100-px images the window
 # covers a third of the scene and both implementations degrade).
+# The last two rows stress failure modes the input.txt matrix lacks:
+# occlusion-heavy (4 foreground objects, ~2x the occluded fraction) and
+# low-texture (contrast scaled to 0.3 -- weak data term, propagation
+# must carry the solution).
 CONFIGS = [
-    ("readme_demo_grd", 192, 256, 16, 8, "GRD", False, False),
-    ("tsukuba_cen_pp", 192, 256, 16, 16, "CEN", False, True),
-    ("venus_cen_pp", 192, 256, 20, 8, "CEN", False, True),
-    ("cones_cen_pp", 160, 224, 24, 4, "CEN", False, True),
-    ("teddy_cen_cs_pp", 160, 224, 24, 4, "CEN", True, True),
-    ("reindeer_cen_pp", 192, 416, 80, 3, "CEN", False, True),
+    ("readme_demo_grd", 192, 256, 16, 8, "GRD", False, False, {}),
+    ("tsukuba_cen_pp", 192, 256, 16, 16, "CEN", False, True, {}),
+    ("venus_cen_pp", 192, 256, 20, 8, "CEN", False, True, {}),
+    ("cones_cen_pp", 160, 224, 24, 4, "CEN", False, True, {}),
+    ("teddy_cen_cs_pp", 160, 224, 24, 4, "CEN", True, True, {}),
+    ("reindeer_cen_pp", 192, 416, 80, 3, "CEN", False, True, {}),
+    ("occlusions_cen_pp", 176, 240, 24, 4, "CEN", False, True,
+     {"n_fg": 4}),
+    ("lowtex_grd_pp", 192, 256, 16, 8, "GRD", False, True,
+     {"texture_contrast": 0.3}),
 ]
 QUICK = CONFIGS[:2]
 
@@ -52,6 +61,16 @@ def main():
                          "sides are stochastic optimizers)")
     args = ap.parse_args()
 
+    import os as _os
+
+    import jax
+    # persistent compile cache (env-var spellings ignored by this build)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
 
     from crossscalepatchmatch_tpu import CSPMConfig, CostMethod, oracle
@@ -60,12 +79,12 @@ def main():
     from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
 
     rows = []
-    for (name, h, w, max_dis, dis_scale, cc, use_cs,
-         use_pp) in (QUICK if args.quick else CONFIGS):
+    for (name, h, w, max_dis, dis_scale, cc, use_cs, use_pp,
+         scene_kw) in (QUICK if args.quick else CONFIGS):
         # stable per-config seed (str hash is salted per interpreter run)
         import zlib
         pair = make_pair(h=h, w=w, max_dis=max_dis,
-                         seed=zlib.crc32(name.encode()) % 1000)
+                         seed=zlib.crc32(name.encode()) % 1000, **scene_kw)
         scale_num = 3 if use_cs else 5   # small scenes: 3 usable levels
         reg_lambda = 0.3 if use_cs else 0.0
 

@@ -63,3 +63,58 @@ def test_stale_checkpoint_rejected(tmp_path):
     # matching -> accepted at final iteration
     st = load_state(p, cfg, seed=3)
     assert st is not None and st[1] == cfg.max_iter
+
+
+def test_sharded_resume_bit_exact(tmp_path):
+    """Sharded checkpoint/resume on the virtual 8-device mesh: a run
+    interrupted after iteration 1 and resumed from its process-local
+    shard file must equal the uninterrupted run bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from crossscalepatchmatch_tpu.checkpoint import (
+        run_batch_sharded_resumable)
+    from crossscalepatchmatch_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    pairs = [make_pair(h=32, w=48, max_dis=8, seed=s) for s in (1, 2)]
+    cfg = CSPMConfig(max_dis=8, dis_scale=16, wnd_size=11,
+                     max_iter=2, use_pp=True)
+    mesh = make_mesh(2, 2, 2)
+    l = jnp.stack([jnp.asarray(p.left) for p in pairs])
+    r = jnp.stack([jnp.asarray(p.right) for p in pairs])
+    seeds = jnp.array([7, 7], jnp.int32)
+
+    p1 = str(tmp_path / "a.ck")
+    full = np.asarray(run_batch_sharded_resumable(l, r, seeds, cfg, mesh,
+                                                  p1))
+
+    # simulate a crash after iteration 1: rewind the shard file, resume
+    import crossscalepatchmatch_tpu.checkpoint as ck
+    p2 = str(tmp_path / "b.ck")
+    saved = {}
+    orig = ck._shards_to_disk
+
+    def spy(path, arrs, iteration, cfg2, seed_fp):
+        saved[iteration] = {k: [np.asarray(s.data)
+                                for s in a.addressable_shards]
+                            for k, a in arrs.items()}
+        orig(path, arrs, iteration, cfg2, seed_fp)
+        if iteration == 1:
+            saved["file_at_1"] = open(path, "rb").read()
+
+    ck._shards_to_disk = spy
+    try:
+        out_a = np.asarray(run_batch_sharded_resumable(l, r, seeds, cfg,
+                                                       mesh, p2))
+    finally:
+        ck._shards_to_disk = orig
+    np.testing.assert_array_equal(full, out_a)
+
+    with open(p2 + ".proc0", "wb") as f:
+        f.write(saved["file_at_1"])
+    resumed = np.asarray(run_batch_sharded_resumable(l, r, seeds, cfg,
+                                                     mesh, p2))
+    np.testing.assert_array_equal(full, resumed)

@@ -17,8 +17,9 @@ from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
 from crossscalepatchmatch_tpu.ops.plane_cost import window_plane_cost
 
 
+@pytest.mark.parametrize("tree", [False, True])
 @pytest.mark.parametrize("k", [1, 3])
-def test_kernel_matches_jnp_interpret(k):
+def test_kernel_matches_jnp_interpret(k, tree):
     h, w, d, wnd = 24, 40, 8, 5
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -35,7 +36,7 @@ def test_kernel_matches_jnp_interpret(k):
     with pltpu.force_tpu_interpret_mode():
         got = window_plane_cost_pallas(
             imgs, vols, mc, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
-            th=8, tw=128)
+            th=8, tw=128, tree=tree)
     want = jax.vmap(lambda i, v, m, a: window_plane_cost(
         i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
             imgs, vols, mc, abc)

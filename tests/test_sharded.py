@@ -170,6 +170,37 @@ class TestShardedPipeline:
         bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
         assert abs(bad - bad_s) < 0.15, (bad, bad_s)
 
+    def test_tx_sharded_quality(self):
+        # (data=1, ty=2, tx=4): 2-D spatial tiling with column halo
+        # exchange; quality must match the single-device threshold
+        pair = make_pair(h=64, w=64, max_dis=12, seed=11)
+        cfg = small_cfg()
+        mesh = make_mesh(1, 2, 4)   # 32-row bands x 16-col blocks
+        run = jit_run_batch_sharded(cfg, mesh)
+        dis = np.asarray(run(jnp.asarray(pair.left)[None],
+                             jnp.asarray(pair.right)[None],
+                             jnp.zeros((1,), jnp.int32)))
+        assert dis.shape == (1, 2, 64, 64)
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.15, f"tx-sharded bad-pixel rate too high: {bad:.3f}"
+
+    def test_tx_sharded_with_postprocessing_census(self):
+        # tx sharding through the census + post-processing path (row-wide
+        # LR/fill on gathered rows, 2-D-halo weighted median)
+        pair = make_pair(h=48, w=64, max_dis=8, seed=6)
+        cfg = small_cfg(max_dis=8, cost_method=CostMethod.CEN, use_pp=True)
+        mesh = make_mesh(1, 2, 2)
+        dis = np.asarray(jit_run_batch_sharded(cfg, mesh)(
+            jnp.asarray(pair.left)[None], jnp.asarray(pair.right)[None],
+            jnp.zeros((1,), jnp.int32)))
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        single = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp_s = single["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < max(2.0 * bad_s, 0.12), (bad, bad_s)
+
     def test_rejects_unsupported_configs(self):
         mesh = make_mesh(1, 8)
         cfg = small_cfg(precompute_volume=False)
