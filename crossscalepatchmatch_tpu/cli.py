@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aggregator", choices=["NONE", "BOX", "GF", "BF"],
                    default="NONE", help="per-slice cost-volume filter")
     p.add_argument("--use_pallas", type=_bool, default=True)
+    p.add_argument("--prescreen_stride", type=int, default=2,
+                   help="window subsample stride for candidate ranking "
+                        "(1 disables prescreening)")
+    p.add_argument("--prescreen_mode", choices=["window", "volume"],
+                   default="window",
+                   help="candidate ranking: strided window samples or "
+                        "precomputed ASW quadrant volumes")
     p.add_argument("--oracle", action="store_true",
                    help="run the native CPU oracle instead of the TPU engine")
     p.add_argument("--profile_dir", default=None,
@@ -93,7 +100,9 @@ def main(argv=None) -> int:
             use_pp=args.use_pp, reg_lambda=args.reg_lambda,
             max_iter=args.max_iter, wnd_size=args.wnd_size,
             scale_num=args.scale_num, aggregator=Aggregator[args.aggregator],
-            use_pallas=args.use_pallas)
+            use_pallas=args.use_pallas,
+            prescreen_stride=args.prescreen_stride,
+            prescreen_mode=args.prescreen_mode)
         if args.profile_dir:
             import jax
             with jax.profiler.trace(args.profile_dir):

@@ -110,6 +110,19 @@ class CSPMConfig:
     # candidates at least as well as the full one at 1/4 the cost);
     # stride 3 is faster still at wnd=35 but degrades small windows.
     prescreen_stride: int = 2
+    # Prescreen evaluator: "volume" ranks candidates on per-pair
+    # precomputed ASW-weighted quadrant volumes (ops.prescreen_volume) --
+    # four tent lerps per pixel per candidate instead of hundreds of
+    # window samples; "window" samples the strided window per candidate.
+    # Default "volume": measured on the TPU bench scene (375x450, d=60,
+    # GRD) 3137 -> 2312 ms/pair AND bad-pixel 0.0049 -> 0.0034 -- the
+    # quadrant ranking is both ~60x cheaper per candidate and a BETTER
+    # ranker than the strided window (exact for locally fronto-parallel
+    # windows, slant-aware through the four anchor disparities).
+    # prescreen_stride doubles as the build's window subsampling.  Used
+    # by the single-device and spatially-sharded paths (cross-scale runs
+    # have no prescreen either way).
+    prescreen_mode: str = "volume"
 
     # --- cost model constants ---------------------------------------------
     cost_alpha: float = 0.1     # color/gradient mixing weight
@@ -169,6 +182,10 @@ class CSPMConfig:
             raise ValueError(
                 f"pallas_gather must be 'tree' or 'tent', got "
                 f"{self.pallas_gather!r}")
+        if self.prescreen_mode not in ("window", "volume"):
+            raise ValueError(
+                f"prescreen_mode must be 'window' or 'volume', got "
+                f"{self.prescreen_mode!r}")
 
     @property
     def half_wnd(self) -> int:

@@ -106,18 +106,37 @@ def _pallas_enabled(cfg: CSPMConfig) -> bool:
     return cfg.use_pallas and jax.default_backend() == "tpu"
 
 
+def _volume_sparse_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
+    """Quadrant-volume prescreen evaluator (cfg.prescreen_mode="volume")."""
+    from ..ops.prescreen_volume import (build_quadrant_volumes,
+                                        quadrant_prescreen_cost)
+    build = functools.partial(build_quadrant_volumes,
+                              half_wnd=cfg.half_wnd, gamma=cfg.wgt_gamma,
+                              stride=max(cfg.prescreen_stride, 1))
+    bq, wq = jax.vmap(build)(vd.imgs[0], vd.vols[0])
+    max_costs = vd.max_costs[0]
+    rank = functools.partial(quadrant_prescreen_cost,
+                             half_wnd=cfg.half_wnd, max_dis=cfg.max_dis)
+
+    def sparse_fn(abc2: jax.Array) -> jax.Array:
+        return jax.vmap(rank)(bq, wq, max_costs, abc2)
+
+    return sparse_fn
+
+
 def make_cost_fns(cfg: CSPMConfig,
                   vd: VolumeData) -> Tuple[CostFn, CostFn | None]:
     """Bind the per-view volume data into batched plane-cost evaluators.
 
-    Returns (cost_fn, sparse_fn): the exact evaluator plus the strided
-    prescreen evaluator (None when prescreening is disabled or unsupported
-    -- cross-scale path).  Both share one kernel volume layout
-    (PreparedVolumes) so the padded HBM image/volume transpose is built
-    once per pair, not per evaluator.
+    Returns (cost_fn, sparse_fn): the exact evaluator plus the
+    prescreen evaluator (None when prescreening is disabled or
+    unsupported -- cross-scale path).  Both share one kernel volume
+    layout (PreparedVolumes) so the padded HBM image/volume transpose is
+    built once per pair, not per evaluator.
     """
     want_sparse = (cfg.prescreen_stride > 1 and not cfg.use_cs
                    and cfg.precompute_volume)
+    volume_mode = want_sparse and cfg.prescreen_mode == "volume"
     if _pallas_enabled(cfg) and not cfg.use_cs:
         from ..ops.pallas.window_cost import (prepare_volumes,
                                               window_plane_cost_prepared)
@@ -133,9 +152,13 @@ def make_cost_fns(cfg: CSPMConfig,
                 tree=cfg.pallas_gather == "tree")
 
         cost_fn = functools.partial(kernel_fn, stride=1)
-        sparse_fn = (functools.partial(kernel_fn,
-                                       stride=cfg.prescreen_stride)
-                     if want_sparse else None)
+        if volume_mode:
+            sparse_fn = _volume_sparse_fn(cfg, vd)
+        elif want_sparse:
+            sparse_fn = functools.partial(kernel_fn,
+                                          stride=cfg.prescreen_stride)
+        else:
+            sparse_fn = None
         return cost_fn, sparse_fn
     if _pallas_enabled(cfg) and cfg.use_cs:
         from ..ops.pallas.window_cost import (
@@ -184,8 +207,12 @@ def make_cost_fns(cfg: CSPMConfig,
         return jax.vmap(fn)(img, vol, mc, abc2)
 
     cost_fn = functools.partial(jnp_fn, stride=1)
-    sparse_fn = (functools.partial(jnp_fn, stride=cfg.prescreen_stride)
-                 if want_sparse else None)
+    if volume_mode:
+        sparse_fn = _volume_sparse_fn(cfg, vd)
+    elif want_sparse:
+        sparse_fn = functools.partial(jnp_fn, stride=cfg.prescreen_stride)
+    else:
+        sparse_fn = None
     return cost_fn, sparse_fn
 
 

@@ -279,7 +279,33 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
             coarse_vols.append(v_s)
             coarse_mcs.append(jnp.max(v_s, axis=(1, 2, 3)))
 
-    sparse_fn = None   # strided prescreen evaluator (single-scale only)
+    sparse_fn = None   # prescreen evaluator (single-scale only)
+    if (cfg.prescreen_mode == "volume" and cfg.prescreen_stride > 1
+            and not cfg.use_cs):
+        # Quadrant-volume prescreen on the halo-extended block: neighbor
+        # halo pixels are valid window context, pixels past the global
+        # border are not (ops.prescreen_volume).
+        from ..ops.prescreen_volume import (build_quadrant_volumes,
+                                            quadrant_prescreen_cost)
+        if n_tx > 1:
+            valid2d = row_valid[:, None] & col_valid[None, :]
+        else:
+            valid2d = jnp.broadcast_to(row_valid[:, None],
+                                       (row_valid.shape[0], ws))
+        build = functools.partial(build_quadrant_volumes, half_wnd=hw,
+                                  gamma=cfg.wgt_gamma,
+                                  stride=max(cfg.prescreen_stride, 1))
+        bq_e, wq_e = jax.vmap(lambda i, v2: build(i, v2, valid2d))(
+            ext_imgs, ext_vols)
+        csl = slice(hw, hw + ws) if n_tx > 1 else slice(None)
+        bq_c = bq_e[:, :, hw:hw + hs, csl]
+        wq_c = wq_e[:, :, hw:hw + hs, csl]
+        rank = functools.partial(quadrant_prescreen_cost, half_wnd=hw,
+                                 max_dis=cfg.max_dis)
+
+        def sparse_fn(abc2: jax.Array) -> jax.Array:
+            return jax.vmap(rank)(bq_c, wq_c, max_cost, abc2)
+
     if cfg.use_pallas and jax.default_backend() == "tpu":
         # Fused kernel on the block: neighbor-halo rows/columns are valid
         # image pixels, pixels past the global border are not -- expressed
@@ -321,7 +347,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                     slab=cfg.pallas_slab,
                     tree=cfg.pallas_gather == "tree")
 
-            if cfg.prescreen_stride > 1:
+            if cfg.prescreen_stride > 1 and sparse_fn is None:
                 def sparse_fn(abc2: jax.Array) -> jax.Array:
                     return window_plane_cost_prepared(
                         prep0, max_cost, abc2, half_wnd=hw,
@@ -369,7 +395,8 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                 total = total + jnp.float32(wgts[scl]) * cost_s
             return total
 
-        if cfg.prescreen_stride > 1 and not cfg.use_cs:
+        if (cfg.prescreen_stride > 1 and not cfg.use_cs
+                and sparse_fn is None):
             def sparse_fn(abc2: jax.Array) -> jax.Array:
                 fn = functools.partial(
                     window_plane_cost, half_wnd=hw, max_dis=cfg.max_dis,

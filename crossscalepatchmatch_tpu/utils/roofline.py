@@ -57,6 +57,7 @@ def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
                       max(cfg.prescreen_stride, 1)))
     sparse_offs = n_str * n_str
     prescreen = cfg.prescreen_stride > 1 and not cfg.use_cs
+    volume_rank = prescreen and cfg.prescreen_mode == "volume"
     k_stencil = 4 + (4 if cfg.far_offsets else 0)
     r = len(cfg.refinement_schedule())
     stages = max(1, min(cfg.refine_stages, r)) if cfg.batch_refine else r
@@ -69,27 +70,34 @@ def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
         # pre_cs_pc.cc:135): same offset count per level
         scales = cfg.scale_num
 
-    ocu = 0.0      # (offset, candidate) samples
-    exps = 0.0     # weight exp() evaluations (shared across K per launch)
-    launches = []  # (K, offsets) per kernel launch
+    ocu = 0.0        # kernel (offset, candidate) samples
+    exps = 0.0       # kernel weight exp() evaluations (shared across K)
+    rank_cands = 0.0  # candidates ranked on the quadrant volumes
+    launches = []    # (K, offsets) per kernel launch
 
     def launch(k, offs):
         launches.append((k, offs))
+
+    def screen(k):
+        nonlocal rank_cands
+        if volume_rank:
+            rank_cands += k
+        else:
+            launch(k, sparse_offs)
+        launch(1, full_offs)                   # winner re-eval
 
     launch(1, full_offs)                       # init
     for _ in range(cfg.max_iter):
         for _ in range(cfg.prop_sweeps):
             if prescreen:
-                launch(k_stencil, sparse_offs)
-                launch(1, full_offs)           # winner re-eval
+                screen(k_stencil)
             else:
                 launch(k_stencil, full_offs)
         launch(1, full_offs)                   # view propagation
         if cfg.batch_refine:
             for k in stage_ks:
                 if prescreen and k > 1:
-                    launch(k, sparse_offs)
-                    launch(1, full_offs)
+                    screen(k)
                 else:
                     launch(k, full_offs)
         else:
@@ -99,7 +107,10 @@ def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
     for k, offs in launches:
         ocu += k * offs * scales
         exps += offs * scales
-    return {"ocu": ocu, "exps": exps, "launches": len(launches)}
+    # quadrant-volume build: one strided-window aggregation pass per pair
+    build_offs = sparse_offs if volume_rank else 0.0
+    return {"ocu": ocu, "exps": exps, "launches": len(launches),
+            "rank_cands": rank_cands, "build_offs": build_offs}
 
 
 def pipeline_flops(cfg: CSPMConfig, h: int, w: int) -> Dict[str, float]:
@@ -112,15 +123,23 @@ def pipeline_flops(cfg: CSPMConfig, h: int, w: int) -> Dict[str, float]:
     """
     counts = count_plane_cost_work(cfg)
     px = h * w * 2   # both views
-    dpad = _round_up(cfg.max_dis + 1, 8)
+    d = cfg.max_dis + 1
+    dpad = _round_up(d, 8)
     slab = cfg.pallas_slab if 0 < cfg.pallas_slab < dpad else dpad
     sem = counts["ocu"] * px * SEMANTIC_OPS_PER_SAMPLE \
         + counts["exps"] * px * WEIGHT_OPS_PER_OFFSET
+    # quadrant-volume prescreen (prescreen_mode="volume"): 4 tent
+    # contractions over D per ranked candidate, plus the one-time
+    # weighted build over the strided window
+    rank = counts["rank_cands"] * px * 4 * d * TENT_OPS_PER_SLICE
+    build = counts["build_offs"] * px * (2 * d + WEIGHT_OPS_PER_OFFSET)
     return {
         "semantic_flops": sem,
-        "executed_slab": counts["ocu"] * px * TENT_OPS_PER_SLICE * slab,
-        "executed_full": counts["ocu"] * px * TENT_OPS_PER_SLICE * dpad,
-        "transcendentals": counts["exps"] * px,
+        "executed_slab": (counts["ocu"] * px * TENT_OPS_PER_SLICE * slab
+                          + rank + build),
+        "executed_full": (counts["ocu"] * px * TENT_OPS_PER_SLICE * dpad
+                          + rank + build),
+        "transcendentals": (counts["exps"] + counts["build_offs"]) * px,
         "kernel_launches": counts["launches"],
         # HBM bytes per launch: the halo'd volume + image tiles the kernel
         # DMAs (dominant term; f32)
