@@ -21,6 +21,7 @@ ceiling; Y% of that work is semantically required".
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict
 
@@ -147,33 +148,46 @@ def pipeline_flops(cfg: CSPMConfig, h: int, w: int) -> Dict[str, float]:
     }
 
 
-def measure_vpu_peak(seconds: float = 0.5) -> float:
+def measure_vpu_peak() -> float:
     """Measured f32 VPU ceiling (fused multiply-add ops/s) on the default
-    device: a chained fma loop on a VMEM-resident block, timed with host
-    materialization (the axon tunnel's block_until_ready can lie)."""
+    device.
+
+    Each fori_loop iteration applies a 64-deep dependent fma chain to the
+    block: 128 flops per element per load/store pair, so the measurement
+    is compute-bound, not HBM-bound (a 1-fma body measures HBM bandwidth
+    instead -- ~0.76 "Tops/s" on v5e, below what the window kernel itself
+    sustains).  Timed over one large device call with host
+    materialization (the axon tunnel's block_until_ready can lie).
+    """
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    n_inner = 512
-    shape = (1024, 512)   # 2 MB: resident, negligible HBM traffic
+    unroll = 64
+    shape = (512, 512)   # 1 MB block
 
-    @jax.jit
-    def burn(x):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def burn(x, n):
         def body(_, x):
-            return x * 1.0000001 + 1e-7
-        return jax.lax.fori_loop(0, n_inner, body, x)
+            for _ in range(unroll):
+                x = x * 1.0000001 + 1e-7
+            return x
+        return jax.lax.fori_loop(0, n, body, x)
 
     x = jnp.ones(shape, jnp.float32)
-    y = burn(x)
-    float(jnp.sum(y))   # compile + settle
-    reps = 0
-    t0 = time.perf_counter()
-    y = x
-    while time.perf_counter() - t0 < seconds:
-        y = burn(y)
-        reps += 1
-    float(jnp.sum(y))
-    dt = time.perf_counter() - t0
-    # mul+add = 2 ops per element per inner step
-    return reps * n_inner * shape[0] * shape[1] * 2.0 / dt
+
+    def timed(n):
+        float(jnp.sum(burn(x, n=n)))   # compile + settle
+        t0 = time.perf_counter()
+        float(jnp.sum(burn(x, n=n)))
+        return time.perf_counter() - t0
+
+    # difference of two sizes cancels the constant per-call cost (the
+    # axon tunnel roundtrip is ~30 ms -- larger than the small run);
+    # best of 3 pairs resists tunnel-timing noise
+    n_lo, n_hi = 256, 4096
+    ops = (n_hi - n_lo) * unroll * shape[0] * shape[1] * 2.0
+    best = 0.0
+    for _ in range(3):
+        dt = timed(n_hi) - timed(n_lo)
+        best = max(best, ops / max(dt, 1e-6))
+    return best
