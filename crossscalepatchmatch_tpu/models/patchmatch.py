@@ -134,9 +134,15 @@ def make_cost_fns(cfg: CSPMConfig,
     layout (PreparedVolumes) so the padded HBM image/volume transpose is
     built once per pair, not per evaluator.
     """
+    # the window prescreen exists for single-scale only; the quadrant-
+    # volume prescreen also serves cross-scale configs by ranking on the
+    # FINE pyramid level (the dominant term of the scale-weighted sum --
+    # a ranking heuristic like the prescreen itself, exact CS adoption
+    # costs are unchanged)
+    volume_mode = (cfg.prescreen_stride > 1 and cfg.precompute_volume
+                   and cfg.prescreen_mode == "volume")
     want_sparse = (cfg.prescreen_stride > 1 and not cfg.use_cs
                    and cfg.precompute_volume)
-    volume_mode = want_sparse and cfg.prescreen_mode == "volume"
     if _pallas_enabled(cfg) and not cfg.use_cs:
         from ..ops.pallas.window_cost import (prepare_volumes,
                                               window_plane_cost_prepared)
@@ -174,7 +180,8 @@ def make_cost_fns(cfg: CSPMConfig,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                 slab=cfg.pallas_slab, tree=cfg.pallas_gather == "tree")
 
-        return cost_fn, None
+        return cost_fn, (_volume_sparse_fn(cfg, vd) if volume_mode
+                         else None)
     if cfg.use_cs:
         if jax.default_backend() == "tpu":
             # The jnp upsampled cross-scale path is known to crash the
@@ -197,7 +204,8 @@ def make_cost_fns(cfg: CSPMConfig,
             return jax.vmap(eval_view, in_axes=(0, 0, 0, 0))(
                 vd.imgs, vd.vols, vd.max_costs, abc2)
 
-        return cost_fn, None
+        return cost_fn, (_volume_sparse_fn(cfg, vd) if volume_mode
+                         else None)
     img, vol, mc = vd.imgs[0], vd.vols[0], vd.max_costs[0]
 
     def jnp_fn(abc2: jax.Array, stride: int) -> jax.Array:

@@ -279,12 +279,13 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
             coarse_vols.append(v_s)
             coarse_mcs.append(jnp.max(v_s, axis=(1, 2, 3)))
 
-    sparse_fn = None   # prescreen evaluator (single-scale only)
-    if (cfg.prescreen_mode == "volume" and cfg.prescreen_stride > 1
-            and not cfg.use_cs):
+    sparse_fn = None   # prescreen evaluator
+    if cfg.prescreen_mode == "volume" and cfg.prescreen_stride > 1:
         # Quadrant-volume prescreen on the halo-extended block: neighbor
         # halo pixels are valid window context, pixels past the global
-        # border are not (ops.prescreen_volume).
+        # border are not (ops.prescreen_volume).  For cross-scale configs
+        # the ranking uses the FINE level only (heuristic; exact CS
+        # adoption costs are unchanged).
         from ..ops.prescreen_volume import (build_quadrant_volumes,
                                             quadrant_prescreen_cost)
         if n_tx > 1:
@@ -404,8 +405,8 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                     wnd_stride=cfg.prescreen_stride, **jnp_kw)
                 return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
 
-    if cfg.use_cs:
-        sparse_fn = None     # prescreen is single-scale only
+    if cfg.use_cs and cfg.prescreen_mode != "volume":
+        sparse_fn = None     # the window prescreen is single-scale only
 
     # --- optimizer --------------------------------------------------------
     # Iteration-level slicing (it_lo/it_hi) + external state support the

@@ -57,8 +57,11 @@ def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
     n_str = len(range(-cfg.half_wnd, cfg.half_wnd + 1,
                       max(cfg.prescreen_stride, 1)))
     sparse_offs = n_str * n_str
-    prescreen = cfg.prescreen_stride > 1 and not cfg.use_cs
-    volume_rank = prescreen and cfg.prescreen_mode == "volume"
+    volume_rank = (cfg.prescreen_stride > 1
+                   and cfg.prescreen_mode == "volume")
+    # the window prescreen is single-scale only; the volume prescreen
+    # also serves cross-scale configs (fine-level ranking)
+    prescreen = cfg.prescreen_stride > 1 and (not cfg.use_cs or volume_rank)
     k_stencil = 4 + (4 if cfg.far_offsets else 0)
     r = len(cfg.refinement_schedule())
     stages = max(1, min(cfg.refine_stages, r)) if cfg.batch_refine else r
