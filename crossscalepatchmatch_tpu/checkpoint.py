@@ -179,19 +179,37 @@ def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
     # instead of being rebuilt inside each per-iteration jit call.
     _build = jax.jit(build_volume_data, static_argnames=("cfg",))
 
-    @functools.partial(jax.jit, static_argnames=("cfg",))
-    def _init(vd, seed, cfg):
-        cost_fn, _ = pm.make_cost_fns(cfg, vd)
-        key = jax.random.PRNGKey(seed)
-        k_init, _ = jax.random.split(key)
-        return pm.init_state(k_init, (h, w), cost_fn, cfg)
+    # Rank-adoption scheduling (models.patchmatch.patchmatch): iterations
+    # [0, n_rank) adopt on the quadrant ranking costs, the rest on exact
+    # costs, with one exact state-cost refresh at the boundary.  A
+    # checkpoint saved inside the rank phase holds rank-unit costs; the
+    # refresh replays at loop index n_rank whether or not the process
+    # restarted, so resume stays bit-exact.
+    rank_mode = cfg.adopt_mode != "exact"
+    n_rank = (0 if not rank_mode else
+              cfg.max_iter if cfg.adopt_mode == "rank" else
+              max(0, cfg.max_iter - cfg.exact_iters))
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def _step(vd, seed, state, iteration, cfg):
+    def _init(vd, seed, cfg):
         cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
+        key = jax.random.PRNGKey(seed)
+        k_init, _ = jax.random.split(key)
+        return pm.init_state(k_init, (h, w),
+                             sparse_fn if n_rank else cost_fn, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "rank"))
+    def _step(vd, seed, state, iteration, cfg, rank):
+        cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
+        cf, sf = (sparse_fn, None) if rank else (cost_fn, sparse_fn)
         keys = pm.iteration_keys(jax.random.PRNGKey(seed), cfg)
-        return pm.iteration_step(state, keys[iteration], cost_fn, cfg,
-                                 sparse_fn)
+        return pm.iteration_step(state, keys[iteration], cf, cfg, sf)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _refresh(vd, state, cfg):
+        cost_fn, _ = pm.make_cost_fns(cfg, vd)
+        return pm.PMState(abc=state.abc,
+                          cost=cost_fn(state.abc[:, None])[:, 0])
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _finalize(vd, state, cfg):
@@ -212,7 +230,11 @@ def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
         state, start = resumed
 
     for it in range(start, cfg.max_iter):
-        state = _step(vd, jnp.int32(seed), state, jnp.int32(it), cfg)
+        if n_rank and it == n_rank:
+            # crossing rank->exact: refresh the held cost in exact units
+            state = _refresh(vd, state, cfg)
+        state = _step(vd, jnp.int32(seed), state, jnp.int32(it), cfg,
+                      rank=it < n_rank)
         jax.block_until_ready(state.abc)
         save_state(ckpt_path, state, it + 1, cfg, seed)
 

@@ -123,6 +123,24 @@ class CSPMConfig:
     # by the single-device and spatially-sharded paths (cross-scale runs
     # have no prescreen either way).
     prescreen_mode: str = "volume"
+    # Adoption metric: "exact" compares full-window costs for every
+    # adoption decision (reference-faithful, cs_patchmatch.cc:201,209);
+    # "rank" adopts directly on the quadrant-volume ranking costs (no
+    # exact evaluations inside the optimizer -- the cheapest schedule);
+    # "rank+exact" runs all but the last outer iteration in rank mode,
+    # refreshes the state cost exactly, and runs the final iteration
+    # with exact adoption (recovers exact-mode sub-pixel refinement at a
+    # fraction of the launches).  "rank"/"rank+exact" require the
+    # quadrant prescreen (prescreen_mode="volume", prescreen_stride>1,
+    # precompute_volume).
+    adopt_mode: str = "exact"
+    # Trailing exact iterations in "rank+exact" mode (the first
+    # max_iter - exact_iters iterations adopt on ranking costs).  More
+    # exact iterations = closer to reference parity, fewer = faster;
+    # measured on the eval matrix: exact_iters=1 breaks the 0.005
+    # bad-pixel bound on the occlusion-stress scene, exact_iters=2
+    # restores it (BASELINE.md round-2 table).
+    exact_iters: int = 2
 
     # --- cost model constants ---------------------------------------------
     cost_alpha: float = 0.1     # color/gradient mixing weight
@@ -173,6 +191,10 @@ class CSPMConfig:
             raise ValueError(
                 "the on-the-fly plane cost exists only for GRD "
                 "(grd_pc.cc/cspc.cc have no census variant)")
+        if not self.precompute_volume and self.aggregator != Aggregator.NONE:
+            raise ValueError(
+                "aggregation filters need a precomputed volume to filter "
+                "(ca_method.h operates on volume slices)")
         if self.pallas_slab < 0 or self.pallas_slab % 8 != 0:
             raise ValueError(
                 f"pallas_slab must be a non-negative multiple of 8 (the "
@@ -186,6 +208,20 @@ class CSPMConfig:
             raise ValueError(
                 f"prescreen_mode must be 'window' or 'volume', got "
                 f"{self.prescreen_mode!r}")
+        if self.adopt_mode not in ("exact", "rank", "rank+exact"):
+            raise ValueError(
+                f"adopt_mode must be 'exact', 'rank' or 'rank+exact', "
+                f"got {self.adopt_mode!r}")
+        if self.adopt_mode != "exact" and not (
+                self.prescreen_mode == "volume"
+                and self.prescreen_stride > 1 and self.precompute_volume):
+            raise ValueError(
+                "rank adoption requires the quadrant-volume prescreen "
+                "(prescreen_mode='volume', prescreen_stride>1, "
+                "precompute_volume=True)")
+        if not 1 <= self.exact_iters:
+            raise ValueError(
+                f"exact_iters must be >= 1, got {self.exact_iters}")
 
     @property
     def half_wnd(self) -> int:

@@ -97,6 +97,67 @@ def make_fly_cost_fn(cfg: CSPMConfig, l_bgr_u8: jax.Array,
     return cost_fn
 
 
+def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
+                            r_bgr_u8: jax.Array
+                            ) -> Tuple[CostFn, CostFn | None]:
+    """Fused on-the-fly plane-cost evaluators (TPU kernel, NO volumes).
+
+    The TPU-native re-design of the reference's query-time GrdPC/CSPC
+    family (plane_cost/grd_pc.cc, plane_cost/cspc.cc): HBM holds only
+    O(H*W) channel planes -- each kernel tile builds its slice of the
+    GRD cost volume in VMEM (ops.pallas.window_cost._fly_build).  At
+    KITTI scale (d=128) this removes ~0.5 GB of volume storage per pair
+    (plus the 4x larger quadrant ranking volumes, which also cannot
+    exist without a volume).
+
+    Semantics note: window aggregation and sub-slice lerp follow the
+    Pre* window cost (cost-space lerp, border pseudo-cost) applied to
+    GRD -- element-exact vs window_plane_cost over grd_cost_volume; the
+    jnp make_fly_cost_fn keeps GrdPC's literal image-space lerp + wrap
+    borders for reference parity (see ops.onthefly_cost).
+
+    Returns (cost_fn, sparse_fn): sparse_fn is the strided-window
+    prescreen (single-scale only; the quadrant prescreen needs a
+    volume).
+    """
+    from ..ops.pallas.window_cost import (cross_scale_fly_cost_prepared,
+                                          fly_plane_cost_prepared,
+                                          prepare_cross_scale_fly,
+                                          prepare_fly)
+    from ..ops.pyramid import build_pyramid
+
+    kw = dict(half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
+              gamma=cfg.wgt_gamma, alpha=cfg.cost_alpha,
+              tau_clr=cfg.tau_clr, tau_grd=cfg.tau_grd,
+              border_thres=cfg.border_thres, slab=cfg.pallas_slab,
+              tree=cfg.pallas_gather == "tree")
+    if cfg.use_cs:
+        levels = cfg.scale_num
+        l_pyr = build_pyramid(l_bgr_u8, levels)
+        r_pyr = build_pyramid(r_bgr_u8, levels)
+        imgs = [jnp.stack([l_pyr[s], r_pyr[s]]) for s in range(levels)]
+        preps = prepare_cross_scale_fly(imgs, half_wnd=cfg.half_wnd,
+                                        max_dis=cfg.max_dis)
+        wgts = tuple(float(x) for x in
+                     scale_weights(cfg.scale_num, cfg.reg_lambda))
+
+        def cost_fn(abc2: jax.Array) -> jax.Array:
+            return cross_scale_fly_cost_prepared(preps, wgts, abc2, **kw)
+
+        return cost_fn, None
+
+    prep = prepare_fly(jnp.stack([l_bgr_u8, r_bgr_u8]),
+                       half_wnd=cfg.half_wnd, max_dis=cfg.max_dis)
+
+    def kernel_fn(abc2: jax.Array, stride: int) -> jax.Array:
+        return fly_plane_cost_prepared(prep, abc2, wnd_stride=stride, **kw)
+
+    cost_fn = functools.partial(kernel_fn, stride=1)
+    sparse_fn = (functools.partial(kernel_fn, stride=cfg.prescreen_stride)
+                 if cfg.prescreen_stride > 1 else None)
+    return cost_fn, sparse_fn
+
+
 def _pallas_enabled(cfg: CSPMConfig) -> bool:
     """Use the fused TPU kernel(s) for the window plane cost.
 
@@ -404,14 +465,42 @@ def iteration_keys(key: jax.Array, cfg: CSPMConfig) -> jax.Array:
 def patchmatch(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
                cfg: CSPMConfig,
                sparse_fn: CostFn | None = None) -> PMState:
-    """Full optimizer: init + max_iter outer iterations."""
+    """Full optimizer: init + max_iter outer iterations.
+
+    cfg.adopt_mode schedules which evaluator decides adoptions:
+      * "exact": every decision on cost_fn (reference-faithful).
+      * "rank": every decision on the quadrant ranking costs (sparse_fn
+        as the adoption metric; no exact evaluations at all).
+      * "rank+exact": rank mode for the first max_iter - exact_iters
+        iterations, then one exact state-cost refresh and exact_iters
+        exact final iterations.
+    """
     k_init, _ = jax.random.split(key)
-    state = init_state(k_init, hw, cost_fn, cfg)
     keys = iteration_keys(key, cfg)
-    state, _ = jax.lax.scan(
-        lambda st, k: (iteration_step(st, k, cost_fn, cfg, sparse_fn),
-                       None),
-        state, keys)
+    rank = cfg.adopt_mode != "exact" and sparse_fn is not None
+    n_exact = (cfg.max_iter if not rank else
+               0 if cfg.adopt_mode == "rank" else
+               min(cfg.exact_iters, cfg.max_iter))
+    n_rank = cfg.max_iter - n_exact if rank else 0
+
+    state = init_state(k_init, hw, sparse_fn if rank else cost_fn, cfg)
+    if n_rank:
+        # adoption compares sparse_fn units against state.cost built from
+        # sparse_fn -- consistent; no prescreen-within-rank (it IS the
+        # metric)
+        state, _ = jax.lax.scan(
+            lambda st, k: (iteration_step(st, k, sparse_fn, cfg, None),
+                           None),
+            state, keys[:n_rank])
+    if n_rank and n_exact:
+        # switch metrics: refresh the held cost in exact units
+        state = PMState(abc=state.abc,
+                        cost=cost_fn(state.abc[:, None])[:, 0])
+    if n_exact:
+        state, _ = jax.lax.scan(
+            lambda st, k: (iteration_step(st, k, cost_fn, cfg, sparse_fn),
+                           None),
+            state, keys[n_rank:])
     return state
 
 

@@ -413,13 +413,25 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     # sharded checkpoint/resume driver (checkpoint.run_batch_sharded_
     # resumable): keys are pre-split from the run seed once, so iterations
     # it_lo..it_hi replay identically whether or not the process restarted.
+    # Rank-adoption scheduling (models.patchmatch.patchmatch): iterations
+    # [0, n_rank) adopt on the quadrant ranking costs (sparse_fn as the
+    # metric), the rest on exact costs, with one exact state-cost refresh
+    # at the boundary.  The it_lo/it_hi checkpoint slices stay coherent:
+    # a state saved inside the rank phase holds rank-unit costs and the
+    # refresh replays whenever a slice crosses the boundary.
+    rank_mode = cfg.adopt_mode != "exact" and sparse_fn is not None
+    n_rank = (0 if not rank_mode else
+              cfg.max_iter if cfg.adopt_mode == "rank" else
+              max(0, cfg.max_iter - cfg.exact_iters))
+
     k_init, k_loop = jax.random.split(key)
     if state_in is None:
-        state = pm.init_state(k_init, (hs, ws), cost_fn, cfg)
+        state = pm.init_state(k_init, (hs, ws),
+                              sparse_fn if n_rank else cost_fn, cfg)
     else:
         state = pm.PMState(abc=state_in[0], cost=state_in[1])
 
-    def sweep(state: pm.PMState, i: int) -> pm.PMState:
+    def sweep(state: pm.PMState, i: int, cf, sf) -> pm.PMState:
         # the stencil is axis-aligned, so row offsets come from the
         # row-extended field and (when columns are sharded) column offsets
         # from the column-extended one; corners are never needed
@@ -435,8 +447,8 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
             else:
                 cands.append(jnp.roll(ext_r, (dy, dx),
                                       axis=(1, 2))[:, far:far + hs])
-        cand_abc = pm._prescreen(jnp.stack(cands, axis=1), sparse_fn)
-        return pm._adopt(state, cand_abc, cost_fn(cand_abc))
+        cand_abc = pm._prescreen(jnp.stack(cands, axis=1), sf)
+        return pm._adopt(state, cand_abc, cf(cand_abc))
 
     def _abc_global_x(abc):
         """tx-all-gathered plane rows re-anchored to global x:
@@ -445,7 +457,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         xoff = ((jnp.arange(w_glob) // ws) * ws).astype(jnp.float32)
         return abc_g.at[..., 2].add(-abc_g[..., 0] * xoff[None, None, :])
 
-    def view_prop_tx(state: pm.PMState) -> pm.PMState:
+    def view_prop_tx(state: pm.PMState, cf) -> pm.PMState:
         """Cross-view plane transfer when columns are sharded: the x-warp
         gather crosses tx shards, so it runs on full-width (global-x)
         plane rows and the local column block is sliced back out
@@ -470,23 +482,36 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         cand = jax.lax.dynamic_slice_in_dim(cand, col0, ws, axis=2)
         cand = cand.at[..., 2].add(cand[..., 0] * col0)   # back to local x
         cand_abc = cand[:, None]
-        return pm._adopt(state, cand_abc, cost_fn(cand_abc))
+        return pm._adopt(state, cand_abc, cf(cand_abc))
 
-    def iteration(state, it_key):
-        for i in range(cfg.prop_sweeps):
-            state = sweep(state, i)
-        if n_tx > 1:
-            state = view_prop_tx(state)
-        else:
-            state = pm.view_propagation(state, cost_fn, cfg)
-        state = pm.plane_refinement(state, it_key, cost_fn, cfg,
-                                    sparse_fn=sparse_fn)
-        return state, None
+    def iteration(cf, sf):
+        def step(state, it_key):
+            for i in range(cfg.prop_sweeps):
+                state = sweep(state, i, cf, sf)
+            if n_tx > 1:
+                state = view_prop_tx(state, cf)
+            else:
+                state = pm.view_propagation(state, cf, cfg)
+            state = pm.plane_refinement(state, it_key, cf, cfg,
+                                        sparse_fn=sf)
+            return state, None
+        return step
 
-    keys = jax.random.split(k_loop, cfg.max_iter)[
-        it_lo:cfg.max_iter if it_hi is None else it_hi]
-    if keys.shape[0]:
-        state, _ = jax.lax.scan(iteration, state, keys)
+    hi = cfg.max_iter if it_hi is None else it_hi
+    all_keys = jax.random.split(k_loop, cfg.max_iter)
+    keys_rank = all_keys[it_lo:min(hi, n_rank)]
+    keys_exact = all_keys[max(it_lo, n_rank):hi]
+    if keys_rank.shape[0]:
+        state, _ = jax.lax.scan(iteration(sparse_fn, None),
+                                state, keys_rank)
+    if keys_exact.shape[0] and n_rank and it_lo <= n_rank:
+        # crossing the rank->exact boundary: refresh the held cost in
+        # exact units
+        state = pm.PMState(abc=state.abc,
+                           cost=cost_fn(state.abc[:, None])[:, 0])
+    if keys_exact.shape[0]:
+        state, _ = jax.lax.scan(iteration(cost_fn, sparse_fn),
+                                state, keys_exact)
     if not finalize:
         return state.abc, state.cost
 

@@ -59,6 +59,16 @@ def main():
     ap.add_argument("--oracle_seeds", type=int, default=2,
                     help="oracle seeds per config (mean is scored; both "
                          "sides are stochastic optimizers)")
+    ap.add_argument("--adopt", default=None,
+                    choices=("exact", "rank", "rank+exact"),
+                    help="engine adopt_mode override (default: config "
+                         "default)")
+    ap.add_argument("--exact-iters", type=int, default=None,
+                    help="trailing exact iterations for rank+exact")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config-name filter")
+    ap.add_argument("--no-oracle-cache", action="store_true",
+                    help="recompute oracle scores even if cached")
     args = ap.parse_args()
 
     import os as _os
@@ -79,8 +89,12 @@ def main():
     from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
 
     rows = []
+    todo = QUICK if args.quick else CONFIGS
+    if args.only:
+        names = set(args.only.split(","))
+        todo = [c for c in CONFIGS if c[0] in names]
     for (name, h, w, max_dis, dis_scale, cc, use_cs, use_pp,
-         scene_kw) in (QUICK if args.quick else CONFIGS):
+         scene_kw) in todo:
         # stable per-config seed (str hash is salted per interpreter run)
         import zlib
         pair = make_pair(h=h, w=w, max_dis=max_dis,
@@ -88,24 +102,44 @@ def main():
         scale_num = 3 if use_cs else 5   # small scenes: 3 usable levels
         reg_lambda = 0.3 if use_cs else 0.0
 
-        t0 = time.perf_counter()
-        bads_o = []
-        for oseed in range(args.oracle_seeds):
-            dis_o = oracle.run_pair(
-                pair.left, pair.right, max_dis=max_dis,
-                dis_scale=dis_scale, cc_name=cc, use_cs=use_cs,
-                use_pp=use_pp, reg_lambda=reg_lambda,
-                scale_num=scale_num, seed=oseed)
-            bads_o.append(bad_pixel_rate(
-                np.asarray(dis_o[0], np.float32) / dis_scale,
-                pair.disp_left, pair.valid_left, 1.0))
-        t_oracle = (time.perf_counter() - t0) / args.oracle_seeds
-        bad_o = float(np.mean(bads_o))
+        # The oracle score is deterministic per (config, seed): cache it
+        # on disk so engine-side sweeps don't re-pay ~30-90 s/seed.
+        import os
+        cache_path = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), ".eval_oracle_cache.json")
+        cache = {}
+        if os.path.exists(cache_path) and not args.no_oracle_cache:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        ckey = f"{name}/{args.oracle_seeds}"
+        if ckey in cache:
+            bad_o, t_oracle = cache[ckey]
+        else:
+            t0 = time.perf_counter()
+            bads_o = []
+            for oseed in range(args.oracle_seeds):
+                dis_o = oracle.run_pair(
+                    pair.left, pair.right, max_dis=max_dis,
+                    dis_scale=dis_scale, cc_name=cc, use_cs=use_cs,
+                    use_pp=use_pp, reg_lambda=reg_lambda,
+                    scale_num=scale_num, seed=oseed)
+                bads_o.append(bad_pixel_rate(
+                    np.asarray(dis_o[0], np.float32) / dis_scale,
+                    pair.disp_left, pair.valid_left, 1.0))
+            t_oracle = (time.perf_counter() - t0) / args.oracle_seeds
+            bad_o = float(np.mean(bads_o))
+            cache[ckey] = [bad_o, t_oracle]
+            with open(cache_path, "w") as f:
+                json.dump(cache, f)
 
+        adopt_kw = {} if args.adopt is None else dict(
+            adopt_mode=args.adopt)
+        if args.exact_iters is not None:
+            adopt_kw["exact_iters"] = args.exact_iters
         cfg = CSPMConfig(max_dis=max_dis, dis_scale=dis_scale,
                          cost_method=CostMethod[cc], use_cs=use_cs,
                          use_pp=use_pp, reg_lambda=reg_lambda,
-                         scale_num=scale_num)
+                         scale_num=scale_num, **adopt_kw)
         bads, t_engine = [], 0.0
         for seed in range(args.seeds):
             t0 = time.perf_counter()

@@ -50,6 +50,44 @@ def test_resume_is_bit_exact(tmp_path):
     np.testing.assert_array_equal(full["abc"], resumed["abc"])
 
 
+def test_resume_rank_exact_bit_exact(tmp_path):
+    """Resume across the rank->exact adoption boundary: a checkpoint
+    saved inside the rank phase holds rank-unit costs; the exact refresh
+    must replay at the boundary so the resumed run is bit-exact."""
+    pair = make_pair(h=40, w=56, max_dis=8, seed=2)
+    cfg = CSPMConfig(max_dis=8, dis_scale=16, wnd_size=9, max_iter=3,
+                     adopt_mode="rank+exact",
+                     exact_iters=1)             # n_rank=2: it 0,1 rank
+
+    p1 = str(tmp_path / "a.npz")
+    full = run_pair_resumable(pair.left, pair.right, cfg, p1, seed=3)
+
+    import crossscalepatchmatch_tpu.checkpoint as ck
+    orig = ck.save_state
+    saved = {}
+
+    def spy(path, state, iteration, cfg2, seed):
+        saved[iteration] = state
+        orig(path, state, iteration, cfg2, seed)
+
+    p2 = str(tmp_path / "b.npz")
+    ck.save_state = spy
+    try:
+        run_pair_resumable(pair.left, pair.right, cfg, p2, seed=3)
+    finally:
+        ck.save_state = orig
+
+    # rewind to iteration 1 (mid-rank-phase) and resume across the
+    # boundary; then rewind to iteration 2 (boundary itself, rank units)
+    for rewind in (1, 2):
+        save_state(p2, saved[rewind], rewind, cfg, 3)
+        resumed = run_pair_resumable(pair.left, pair.right, cfg, p2,
+                                     seed=3)
+        np.testing.assert_array_equal(full["dis"], resumed["dis"])
+        np.testing.assert_array_equal(full["abc"], resumed["abc"])
+        np.testing.assert_array_equal(full["cost"], resumed["cost"])
+
+
 def test_stale_checkpoint_rejected(tmp_path):
     pair = make_pair(h=40, w=56, max_dis=8, seed=2)
     cfg = _cfg()

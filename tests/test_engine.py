@@ -77,6 +77,35 @@ class TestEndToEnd:
         b = run_pair_np(pair.left, pair.right, cfg, seed=7)
         np.testing.assert_array_equal(a["dis"], b["dis"])
 
+    def test_rank_exact_adoption_converges(self):
+        # rank+exact: iterations 0..max_iter-2 adopt on quadrant ranking
+        # costs, the final iteration on exact costs
+        pair = make_pair(**SMALL)
+        cfg = small_cfg(adopt_mode="rank+exact")
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.15, f"rank+exact bad-pixel rate too high: {bad:.3f}"
+        # the held cost must be in exact units after the final iteration:
+        # re-evaluating the returned planes exactly reproduces it
+        from crossscalepatchmatch_tpu.models import patchmatch as pm2
+        from crossscalepatchmatch_tpu.ops.cost_volume import (
+            build_volume_data)
+        vd = build_volume_data(jnp.asarray(pair.left),
+                               jnp.asarray(pair.right), cfg)
+        cost_fn = pm2.make_cost_fn(cfg, vd)
+        exact = np.asarray(cost_fn(jnp.asarray(out["abc"])[:, None])[:, 0])
+        np.testing.assert_allclose(out["cost"], exact, rtol=1e-5, atol=1e-4)
+
+    def test_rank_adoption_modes_validate(self):
+        with pytest.raises(ValueError):
+            small_cfg(adopt_mode="fastest")
+        with pytest.raises(ValueError):
+            # rank adoption needs the quadrant prescreen
+            small_cfg(adopt_mode="rank", prescreen_mode="window")
+        with pytest.raises(ValueError):
+            small_cfg(adopt_mode="rank+exact", prescreen_stride=1)
+
 
 class TestPostprocessUnits:
     def test_lr_check_consistent_input_is_valid(self):

@@ -96,6 +96,19 @@ class TestShardedPipeline:
         # (tests/test_engine.py uses 0.15 on comparable scenes)
         assert bad < 0.15, f"sharded bad-pixel rate too high: {bad:.3f}"
 
+    def test_rank_exact_adoption_sharded(self):
+        # rank+exact adoption scheduling inside the sharded optimizer
+        pair = make_pair(h=64, w=64, max_dis=12, seed=11)
+        cfg = small_cfg(adopt_mode="rank+exact")
+        mesh = make_mesh(1, 4)
+        run = jit_run_batch_sharded(cfg, mesh)
+        dis = np.asarray(run(jnp.asarray(pair.left)[None],
+                             jnp.asarray(pair.right)[None],
+                             jnp.zeros((1,), jnp.int32)))
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.15, f"sharded rank+exact bad rate {bad:.3f}"
+
     def test_data_parallel_batch(self):
         pairs = [make_pair(h=32, w=48, max_dis=8, seed=s) for s in (1, 2)]
         cfg = small_cfg(max_dis=8)
