@@ -29,6 +29,12 @@ def _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig):
         vd = build_volume_data(l_bgr_u8, r_bgr_u8, cfg)
         cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
         return (cost_fn, sparse_fn, vd.imgs[0])
+    if pm._pallas_enabled(cfg):
+        # fused on-the-fly kernel: no volume in HBM (the TPU-native
+        # GrdPC/CSPC; see make_fused_fly_cost_fns for the semantics note)
+        cost_fn, sparse_fn = pm.make_fused_fly_cost_fns(
+            cfg, l_bgr_u8, r_bgr_u8)
+        return (cost_fn, sparse_fn, jnp.stack([l_bgr_u8, r_bgr_u8]))
     return (pm.make_fly_cost_fn(cfg, l_bgr_u8, r_bgr_u8), None,
             jnp.stack([l_bgr_u8, r_bgr_u8]))
 

@@ -95,12 +95,65 @@ def _tree_gather(vol_q: jax.Array, f: jax.Array) -> jax.Array:
     return out
 
 
+def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
+               scale: int, mg: int, ws: int, alpha: float, tau_clr: float,
+               tau_grd: float, border_thres: float):
+    """Build the GRD cost-volume tile in VMEM from the other view's
+    channel slab -- the fused "on the fly" volume (no [H, W, D] volume
+    ever exists in HBM).
+
+    Slice d of the tile equals ops.grad_cost.grd_cost_volume semantics
+    (grd_cc.cpp:7-35): TAD color (mean of 3 channel |diffs|, trunc
+    tau_clr) + TAD x-gradient (trunc tau_grd) mixed by alpha, against the
+    other view shifted by d columns (left view reads x - d, right view
+    x + d, grd_cc.cpp:110-154), with the border pseudo-cost (compare the
+    reference pixel against the constant BORDER_THRES) where x -+ d falls
+    outside the image.  For scale > 0 the arrays are the level-s channels
+    nearest-upsampled to the fine grid, and a level-s shift of d columns
+    is a fine shift of d << s ((fx - d*2^s) >> s == (fx >> s) - d).
+
+    oth_slab lane l holds the other view at fine global column
+    c0 - mg - (dpad - 1)*step + l, so slice d of the tile (lane xl =
+    fine global c0 - mg + xl) reads slab lane xl + (dpad-1 -+ d)*step.
+    """
+    step = 1 << scale
+    rows_t, _, wt = vol_tile.shape
+    slab_w = oth_slab.shape[2]
+    left = v == 0
+    # fine global column of tile lane xl, and its level-s coordinate
+    gx = (jax.lax.broadcasted_iota(jnp.int32, (rows_t, wt), 1)
+          + c0 - mg)
+    gx_s = gx >> scale
+    al = jnp.float32(alpha)
+    be = jnp.float32(1.0 - alpha)
+    inv3 = jnp.float32(1.0 / 3.0)
+
+    ref = [img_tile[c] for c in range(4)]
+    bt = jnp.float32(border_thres)
+    b_clr = (jnp.abs(ref[0] - bt) + jnp.abs(ref[1] - bt)
+             + jnp.abs(ref[2] - bt)) * inv3
+    b_cost = (al * jnp.minimum(b_clr, tau_clr)
+              + be * jnp.minimum(jnp.abs(ref[3] - bt), tau_grd))
+
+    for d in range(dpad):
+        off = jnp.where(left, dpad - 1 - d, dpad - 1 + d) * step
+        oth = [pltpu.roll(oth_slab[c], slab_w - off, 1)[:, :wt]
+               for c in range(4)]
+        clr = (jnp.abs(ref[0] - oth[0]) + jnp.abs(ref[1] - oth[1])
+               + jnp.abs(ref[2] - oth[2])) * inv3
+        cost = (al * jnp.minimum(clr, tau_clr)
+                + be * jnp.minimum(jnp.abs(ref[3] - oth[3]), tau_grd))
+        in_rng = jnp.where(left, gx_s - d >= 0, gx_s + d <= ws - 1)
+        vol_tile[:, d, :] = jnp.where(in_rng, cost, b_cost)
+
+
 def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
-            img_tile, vol_tile, sems,
+            img_tile, vol_tile, sems, oth_slab=None,
             *, hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, k: int,
             scale: int = 0, ws: int = 0, slab: int = 0,
-            wstride: int = 1, tree: bool = False):
+            wstride: int = 1, tree: bool = False,
+            fly: dict | None = None):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -156,9 +209,17 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     cp_img = pltpu.make_async_copy(
         img_hbm.at[v, :, pl.ds(r0, rows_t), pl.ds(c0, wt)],
         img_tile, sems.at[0])
-    cp_vol = pltpu.make_async_copy(
-        vol_hbm.at[v, pl.ds(r0, rows_t), :, pl.ds(c0, wt)],
-        vol_tile, sems.at[1])
+    if fly is None:
+        cp_vol = pltpu.make_async_copy(
+            vol_hbm.at[v, pl.ds(r0, rows_t), :, pl.ds(c0, wt)],
+            vol_tile, sems.at[1])
+    else:
+        # vol_hbm is the other view's channel array (lane-extended); the
+        # cost-volume tile is built in VMEM from it (_fly_build)
+        cp_vol = pltpu.make_async_copy(
+            vol_hbm.at[v, :, pl.ds(r0, rows_t),
+                       pl.ds(c0, oth_slab.shape[2])],
+            oth_slab, sems.at[1])
     cp_img.start()
     cp_vol.start()
 
@@ -172,6 +233,9 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     cp_img.wait()
     ctr = [img_tile[p, mg:mg + th, mg:mg + tw] for p in range(3)]
     cp_vol.wait()
+    if fly is not None:
+        _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
+                   scale=scale, mg=mg, ws=ws, **fly)
 
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
@@ -391,6 +455,100 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
     return PreparedVolumes(img_p, vol_p, h, w, d, scale, hs, ws)
 
 
+class PreparedFly:
+    """Kernel-layout views for the fused on-the-fly GRD cost path.
+
+    No [H, W, D] cost volume exists anywhere: the kernel builds each
+    tile's volume in VMEM from these per-view channel arrays
+    (_fly_build).  HBM footprint is O(H * W) instead of O(H * W * D) --
+    the TPU-native answer to the reference's on-the-fly GrdPC family
+    (plane_cost/grd_pc.cc), whose point is exactly to avoid volume
+    storage.
+
+    img_p: f32[2, 4, Hp, Wp]   reference-view channels (B, G, R, x-grad
+      of BT.601 gray) padded like PreparedVolumes.img_p.
+    oth_p: f32[2, 4, Hp, ExtW] other-view channels, lane-extended so a
+      tile at column c0 can DMA one contiguous slab covering every
+      shifted read x -+ d (d in [0, dpad)): ext lane e holds fine global
+      column e - E with E = (dpad - 1) * 2^scale + mg, zeros outside the
+      image (always masked: border pseudo-cost inside the image width,
+      q-validity bounds outside).
+    """
+
+    def __init__(self, img_p, oth_p, h, w, d, scale=0, hs=None, ws=None,
+                 slab_w=0):
+        self.img_p = img_p
+        self.oth_p = oth_p
+        self.h, self.w, self.d = h, w, d
+        self.scale = scale
+        self.hs = h if hs is None else hs
+        self.ws = w if ws is None else ws
+        self.slab_w = slab_w
+
+
+jax.tree_util.register_pytree_node(
+    PreparedFly,
+    lambda p: ((p.img_p, p.oth_p),
+               (p.h, p.w, p.d, p.scale, p.hs, p.ws, p.slab_w)),
+    lambda aux, ch: PreparedFly(*ch, *aux))
+
+
+def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
+                th: int = 64, tw: int = 128, scale: int = 0,
+                fine_hw: tuple | None = None) -> PreparedFly:
+    """Lay out per-view channel planes for the fused on-the-fly kernel.
+
+    Args:
+      imgs_u8: u8[2, Hs, Ws, 3] level-s BGR views (level-s of the
+        pyramid for scale > 0).
+      max_dis: the LEVEL-s disparity bound; the virtual volume has
+        max_dis + 1 slices (grd_cost_volume convention).
+
+    The channel stack per view is (B, G, R, x-gradient of float gray)
+    -- the color TAD is channel-permutation invariant so BGR order is
+    fine, and the gradient is computed at level-s resolution before any
+    upsampling (grd_cc.cpp:70-77 computes it on the level image).
+    """
+    from ..color import bgr_to_rgb, rgb_to_gray_f32
+    from ..gradient import sobel_x_k1
+
+    nv, hs, ws, _ = imgs_u8.shape
+    h, w = fine_hw if fine_hw is not None else (hs, ws)
+    d = max_dis + 1
+    step = 1 << scale
+    mg = half_wnd * step
+    dpad = _round_up(d, 8)
+    n_ty = -(-h // th)
+    n_tx = -(-w // tw)
+    rows_t = _round_up(th + 2 * mg, 8)
+    wt_pad = _round_up(tw + 2 * mg, 128)
+    hp = (n_ty - 1) * th + rows_t
+    wp = (n_tx - 1) * tw + wt_pad
+    slab_w = _round_up(wt_pad + 2 * (dpad - 1) * step, 128)
+    ext_w = (n_tx - 1) * tw + slab_w
+    ext = (dpad - 1) * step + mg
+
+    img_f = jnp.moveaxis(imgs_u8.astype(jnp.float32), -1, 1)  # [2,3,Hs,Ws]
+    grd = sobel_x_k1(rgb_to_gray_f32(bgr_to_rgb(imgs_u8)))    # [2,Hs,Ws]
+    ch = jnp.concatenate([img_f, grd[:, None]], axis=1)       # [2,4,Hs,Ws]
+    oth = ch[::-1]            # view 0 reads the right image and vice versa
+
+    if scale == 0:
+        img_p = jnp.pad(ch, ((0, 0), (0, 0), (mg, hp - h - mg),
+                             (mg, wp - w - mg)))
+        oth_p = jnp.pad(oth, ((0, 0), (0, 0), (mg, hp - h - mg),
+                              (ext, ext_w - w - ext)))
+    else:
+        ry = jnp.clip((jnp.arange(hp) - mg) >> scale, 0, hs - 1)
+        rx = jnp.clip((jnp.arange(wp) - mg) >> scale, 0, ws - 1)
+        img_p = jnp.take(jnp.take(ch, ry, axis=2), rx, axis=3)
+        # ext lane e -> fine global column e - ext -> level (e-ext) >> s;
+        # out-of-image values are never read unmasked (see class doc)
+        re = jnp.clip((jnp.arange(ext_w) - ext) >> scale, 0, ws - 1)
+        oth_p = jnp.take(jnp.take(oth, ry, axis=2), re, axis=3)
+    return PreparedFly(img_p, oth_p, h, w, d, scale, hs, ws, slab_w)
+
+
 def plane_params(abc: jax.Array, *, th: int = 64,
                  tw: int = 128) -> jax.Array:
     """Kernel-input plane parameters (d_center, a, b, 0), tile-padded.
@@ -418,14 +576,21 @@ def plane_params(abc: jax.Array, *, th: int = 64,
     return params
 
 
-def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
+def _invoke(prep, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
             tw: int, slab: int = 32, wnd_stride: int = 1,
             ybounds: jax.Array | None = None,
-            tree: bool = False) -> jax.Array:
-    """Run the kernel for one (possibly upsampled) pyramid level."""
+            tree: bool = False,
+            fly_params: dict | None = None) -> jax.Array:
+    """Run the kernel for one (possibly upsampled) pyramid level.
+
+    prep: PreparedVolumes (fly_params None) or PreparedFly (fly_params =
+    dict(alpha, tau_clr, tau_grd, border_thres) -- the tile volume is
+    then built in VMEM by _fly_build).
+    """
     h, w, d = prep.h, prep.w, prep.d
-    img_p, vol_p = prep.img_p, prep.vol_p
+    img_p = prep.img_p
+    vol_p = prep.oth_p if fly_params is not None else prep.vol_p
     nv = img_p.shape[0]
     k = params.shape[1]
     hb = half_wnd
@@ -450,7 +615,16 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
         scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride,
-        tree=tree)
+        tree=tree, fly=fly_params)
+
+    n_ch = 3 if fly_params is None else 4
+    scratch = [
+        pltpu.VMEM((n_ch, rows_t, wt_pad), jnp.float32),
+        pltpu.VMEM((rows_t, dpad, wt_pad), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if fly_params is not None:
+        scratch.append(pltpu.VMEM((4, rows_t, prep.slab_w), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -465,11 +639,7 @@ def _invoke(prep: PreparedVolumes, max_costs: jax.Array, params: jax.Array,
         out_specs=pl.BlockSpec((1, k, th, tw),
                                lambda v, i, j, *_: (v, 0, i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((3, rows_t, wt_pad), jnp.float32),
-            pltpu.VMEM((rows_t, dpad, wt_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
 
     out = pl.pallas_call(
@@ -512,6 +682,108 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
                    wnd_stride=wnd_stride, ybounds=ybounds, tree=tree)
+
+
+def fly_sat_cost(alpha: float, tau_clr: float, tau_grd: float) -> float:
+    """Out-of-range saturation for the fly path: the analytic volume
+    maximum alpha*tau_clr + (1-alpha)*tau_grd.  This is GrdPC's own
+    saturation constant (grd_pc.cc:118-123) and the supremum of every
+    GRD volume entry (both TAD terms are truncated); the Pre* classes
+    instead use max(volume) (pre_ss_pc.cc:39), which equals this bound
+    whenever any pixel attains both truncations -- i.e. on any natural
+    image.  The fly path has no volume to take a max over, so it uses
+    the bound."""
+    return alpha * tau_clr + (1.0 - alpha) * tau_grd
+
+
+def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
+                            half_wnd: int, max_dis: int, gamma: float,
+                            alpha: float = 0.1, tau_clr: float = 10.0,
+                            tau_grd: float = 2.0,
+                            border_thres: float = 3.0, th: int = 64,
+                            tw: int = 128, slab: int = 32,
+                            wnd_stride: int = 1,
+                            tree: bool = False) -> jax.Array:
+    """Fused on-the-fly GRD window plane cost (no HBM cost volume).
+
+    Same window/ASW/lerp semantics as window_plane_cost_prepared over the
+    GRD volume that grd_cost_volume would build (element-exact up to the
+    saturation constant, see fly_sat_cost); the volume never exists --
+    each tile's slices are built in VMEM from the other view's channels.
+
+    Args:
+      prep: prepare_fly output (same half_wnd/max_dis/th/tw).
+      abc: f32[2, K, H, W, 3] candidate plane fields.
+
+    Returns:
+      f32[2, K, H, W].
+    """
+    params = plane_params(abc, th=th, tw=tw)
+    sat = jnp.float32(fly_sat_cost(alpha, tau_clr, tau_grd))
+    maxc = jnp.stack([sat, sat])
+    fp = dict(alpha=alpha, tau_clr=tau_clr, tau_grd=tau_grd,
+              border_thres=border_thres)
+    return _invoke(prep, maxc, params, half_wnd=half_wnd,
+                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
+                   slab=slab, wnd_stride=wnd_stride, tree=tree,
+                   fly_params=fp)
+
+
+def prepare_cross_scale_fly(vd_imgs, *, half_wnd: int, max_dis: int,
+                            th: int = 64, tw: int = 128):
+    """prepare_fly for every pyramid level (level-s disparity bound
+    max_dis // 2^s, pre_cs_pc.cc per-level volumes)."""
+    fine_hw = vd_imgs[0].shape[1:3]
+    preps = []
+    md = max_dis
+    for s, img_s in enumerate(vd_imgs):
+        preps.append(prepare_fly(img_s, half_wnd=half_wnd, max_dis=md,
+                                 th=th, tw=tw, scale=s, fine_hw=fine_hw))
+        md //= 2
+    return preps
+
+
+def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
+                                  half_wnd: int, max_dis: int,
+                                  gamma: float, alpha: float = 0.1,
+                                  tau_clr: float = 10.0,
+                                  tau_grd: float = 2.0,
+                                  border_thres: float = 3.0, th: int = 64,
+                                  tw: int = 128, slab: int = 32,
+                                  tree: bool = False) -> jax.Array:
+    """Cross-scale on-the-fly aggregated plane cost (fused kernel per
+    level, no HBM volumes) -- the TPU-native CSPC (cspc.cc:107-182
+    capability; window/lerp semantics follow the Pre* window cost like
+    the single-scale fly path)."""
+    params = plane_params(abc, th=th, tw=tw)
+    sat = jnp.float32(fly_sat_cost(alpha, tau_clr, tau_grd))
+    maxc = jnp.stack([sat, sat])
+    fp = dict(alpha=alpha, tau_clr=tau_clr, tau_grd=tau_grd,
+              border_thres=border_thres)
+    total = None
+    md = max_dis
+    for s, prep in enumerate(preps):
+        cost_s = _invoke(prep, maxc, params, half_wnd=half_wnd,
+                         max_dis_s=md, gamma=gamma, th=th, tw=tw,
+                         slab=slab, tree=tree, fly_params=fp)
+        term = jnp.float32(scale_wgts[s]) * cost_s
+        total = term if total is None else total + term
+        md //= 2
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "half_wnd", "max_dis", "gamma", "th", "tw", "tree", "slab"))
+def fly_plane_cost_pallas(imgs_u8: jax.Array, abc: jax.Array, *,
+                          half_wnd: int, max_dis: int, gamma: float,
+                          th: int = 64, tw: int = 128, slab: int = 32,
+                          tree: bool = False) -> jax.Array:
+    """One-shot convenience wrapper: prepare + evaluate (used by tests)."""
+    prep = prepare_fly(imgs_u8, half_wnd=half_wnd, max_dis=max_dis,
+                       th=th, tw=tw)
+    return fly_plane_cost_prepared(prep, abc, half_wnd=half_wnd,
+                                   max_dis=max_dis, gamma=gamma, th=th,
+                                   tw=tw, slab=slab, tree=tree)
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,

@@ -145,3 +145,127 @@ def test_cross_scale_kernel_matches_jnp_interpret():
             jnp.stack(mcs, 1), abc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fly_kernel_matches_volume_path_interpret():
+    """Fused on-the-fly kernel (volume built in VMEM per tile) vs the jnp
+    window cost over the GRD volume it virtualizes -- element-exact when
+    the jnp side saturates at the fly path's analytic bound
+    (fly_sat_cost)."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_rgb
+    from crossscalepatchmatch_tpu.ops.grad_cost import grd_cost_volume
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_pallas, fly_sat_cost)
+
+    h, w, d, wnd = 24, 40, 8, 5
+    key = jax.random.PRNGKey(0)
+    k1, k3 = jax.random.split(key)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    lr = bgr_to_rgb(imgs[0]).astype(jnp.float32)
+    rr = bgr_to_rgb(imgs[1]).astype(jnp.float32)
+    vols = jnp.stack([grd_cost_volume(lr, rr, d),
+                      grd_cost_volume(lr, rr, d, right=True)])
+    mc = jnp.full((2,), fly_sat_cost(0.1, 10.0, 2.0), jnp.float32)
+
+    k = 3
+    ab = jax.random.uniform(k3, (2, k, h, w, 2), jnp.float32, -1, 1)
+    dc = jax.random.uniform(k3, (2, k, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fly_plane_cost_pallas(imgs, abc, half_wnd=wnd // 2,
+                                    max_dis=d, gamma=10.0, th=8, tw=128)
+    want = jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
+            imgs, vols, mc, abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fly_cross_scale_and_slab_interpret():
+    """Cross-scale fly (per-level VMEM volumes) + disparity-slab fast
+    path of the fly kernel."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_rgb
+    from crossscalepatchmatch_tpu.ops.grad_cost import grd_cost_volume
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        cross_scale_fly_cost_prepared, fly_plane_cost_pallas, fly_sat_cost,
+        prepare_cross_scale_fly)
+    from crossscalepatchmatch_tpu.ops.plane_cost import (
+        cross_scale_plane_cost)
+    from crossscalepatchmatch_tpu.ops.pyramid import build_pyramid
+
+    h, w, d, wnd, levels = 32, 48, 12, 5, 2
+    key = jax.random.PRNGKey(2)
+    k1, k3 = jax.random.split(key)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    l_pyr = build_pyramid(imgs[0], levels)
+    r_pyr = build_pyramid(imgs[1], levels)
+    sat = fly_sat_cost(0.1, 10.0, 2.0)
+    wgts = (0.6, 0.4)
+    pyr_imgs, pyr_vols, pyr_mc = [], [], []
+    md = d
+    for s in range(levels):
+        lr = bgr_to_rgb(l_pyr[s]).astype(jnp.float32)
+        rr = bgr_to_rgb(r_pyr[s]).astype(jnp.float32)
+        pyr_imgs.append(jnp.stack([l_pyr[s], r_pyr[s]]))
+        pyr_vols.append(jnp.stack([grd_cost_volume(lr, rr, md),
+                                   grd_cost_volume(lr, rr, md, right=True)]))
+        pyr_mc.append(jnp.full((2,), sat, jnp.float32))
+        md //= 2
+
+    k = 2
+    ab = jax.random.uniform(k3, (2, k, h, w, 2), jnp.float32, -0.5, 0.5)
+    dc = jax.random.uniform(k3, (2, k, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        preps = prepare_cross_scale_fly(pyr_imgs, half_wnd=wnd // 2,
+                                        max_dis=d, th=8, tw=128)
+        got = cross_scale_fly_cost_prepared(
+            preps, wgts, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
+            th=8, tw=128)
+
+    def one_view(v):
+        return cross_scale_plane_cost(
+            [p[v] for p in pyr_imgs], [p[v] for p in pyr_vols],
+            [m[v] for m in pyr_mc], wgts, abc[v], half_wnd=wnd // 2,
+            max_dis=d, gamma=10.0)
+
+    want = jnp.stack([one_view(0), one_view(1)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-4)
+
+    # slab path: one smooth candidate (slab hits) + one wild (fallback)
+    h2, w2, d2 = 16, 40, 40
+    imgs2 = jax.random.randint(k1, (2, h2, w2, 3), 0, 255, jnp.uint8)
+    lr2 = bgr_to_rgb(imgs2[0]).astype(jnp.float32)
+    rr2 = bgr_to_rgb(imgs2[1]).astype(jnp.float32)
+    vol2 = jnp.stack([grd_cost_volume(lr2, rr2, d2),
+                      grd_cost_volume(lr2, rr2, d2, right=True)])
+    mc2 = jnp.full((2,), sat, jnp.float32)
+    ab0 = jax.random.uniform(k3, (2, 1, h2, w2, 2), jnp.float32,
+                             -0.05, 0.05)
+    dc0 = jax.random.uniform(k3, (2, 1, h2, w2), jnp.float32, 20.0, 24.0)
+    ab1 = jax.random.uniform(k1, (2, 1, h2, w2, 2), jnp.float32, -1, 1)
+    dc1 = jax.random.uniform(k1, (2, 1, h2, w2), jnp.float32, 0, d2)
+    ab2 = jnp.concatenate([ab0, ab1], axis=1)
+    dc2 = jnp.concatenate([dc0, dc1], axis=1)
+    xs2 = jnp.arange(w2, dtype=jnp.float32)
+    ys2 = jnp.arange(h2, dtype=jnp.float32)[:, None]
+    c2 = dc2 - ab2[..., 0] * xs2 - ab2[..., 1] * ys2
+    abc2 = jnp.concatenate([ab2, c2[..., None]], axis=-1)
+    with pltpu.force_tpu_interpret_mode():
+        got2 = fly_plane_cost_pallas(imgs2, abc2, half_wnd=wnd // 2,
+                                     max_dis=d2, gamma=10.0, th=8, tw=128,
+                                     slab=16)
+    want2 = jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d2, gamma=10.0))(
+            imgs2, vol2, mc2, abc2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-5, atol=1e-4)

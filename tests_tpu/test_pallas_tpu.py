@@ -263,3 +263,43 @@ def test_pipeline_cross_scale_runs_with_kernel():
     disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
     bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
     assert bad < 0.1, bad
+
+
+def test_fly_kernel_exact_vs_volume_kernel():
+    """Fused on-the-fly kernel (tile volume built in VMEM) vs the volume
+    kernel over the GRD volume it virtualizes, on real hardware."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_rgb
+    from crossscalepatchmatch_tpu.ops.grad_cost import grd_cost_volume
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_pallas, fly_sat_cost, window_plane_cost_pallas)
+
+    h, w, d, wnd, k = 128, 188, 60, 35, 4
+    imgs, _, _, abc = _mk(h, w, d, k)
+    lr = bgr_to_rgb(imgs[0]).astype(jnp.float32)
+    rr = bgr_to_rgb(imgs[1]).astype(jnp.float32)
+    vols = jnp.stack([grd_cost_volume(lr, rr, d),
+                      grd_cost_volume(lr, rr, d, right=True)])
+    mc = jnp.full((2,), fly_sat_cost(0.1, 10.0, 2.0), jnp.float32)
+    got = fly_plane_cost_pallas(imgs, abc, half_wnd=wnd // 2, max_dis=d,
+                                gamma=10.0)
+    want = window_plane_cost_pallas(imgs, vols, mc, abc, half_wnd=wnd // 2,
+                                    max_dis=d, gamma=10.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_runs_with_fly_kernel():
+    """End-to-end engine on the fused no-volume path
+    (precompute_volume=False + use_pallas on TPU)."""
+    from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+    from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
+
+    pair = make_pair(h=96, w=128, max_dis=16, seed=3)
+    cfg = CSPMConfig(max_dis=16, dis_scale=8, cost_method=CostMethod.GRD,
+                     precompute_volume=False, use_pp=False)
+    out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+    disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+    bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+    assert bad < 0.2, f"fly-path bad-pixel rate too high: {bad:.3f}"
