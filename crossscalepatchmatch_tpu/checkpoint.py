@@ -185,10 +185,7 @@ def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
     # checkpoint saved inside the rank phase holds rank-unit costs; the
     # refresh replays at loop index n_rank whether or not the process
     # restarted, so resume stays bit-exact.
-    rank_mode = cfg.adopt_mode != "exact"
-    n_rank = (0 if not rank_mode else
-              cfg.max_iter if cfg.adopt_mode == "rank" else
-              max(0, cfg.max_iter - cfg.exact_iters))
+    n_rank = cfg.rank_iters
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _init(vd, seed, cfg):

@@ -133,13 +133,18 @@ class CSPMConfig:
     # fraction of the launches).  "rank"/"rank+exact" require the
     # quadrant prescreen (prescreen_mode="volume", prescreen_stride>1,
     # precompute_volume).
-    adopt_mode: str = "exact"
+    adopt_mode: str = "rank+exact"
     # Trailing exact iterations in "rank+exact" mode (the first
     # max_iter - exact_iters iterations adopt on ranking costs).  More
-    # exact iterations = closer to reference parity, fewer = faster;
-    # measured on the eval matrix: exact_iters=1 breaks the 0.005
-    # bad-pixel bound on the occlusion-stress scene, exact_iters=2
-    # restores it (BASELINE.md round-2 table).
+    # exact iterations = closer to reference parity, fewer = faster.
+    # Measured on the 8-config eval matrix (BASELINE.md round-2 table):
+    # exact_iters=1 breaks the 0.005 bad-pixel bound on the
+    # occlusion-stress scene (+0.0083); exact_iters=2 passes every row
+    # at <= +0.0018 -- tighter than all-exact adoption's worst row
+    # (+0.0023; the rank phase's full-window quadrant ranking appears to
+    # act as a mild regularizer) -- while cutting exact full-window
+    # launches ~1/3.  Hence rank+exact/2 is the production default;
+    # adopt_mode="exact" remains the reference-faithful schedule.
     exact_iters: int = 2
 
     # --- cost model constants ---------------------------------------------
@@ -212,9 +217,7 @@ class CSPMConfig:
             raise ValueError(
                 f"adopt_mode must be 'exact', 'rank' or 'rank+exact', "
                 f"got {self.adopt_mode!r}")
-        if self.adopt_mode != "exact" and not (
-                self.prescreen_mode == "volume"
-                and self.prescreen_stride > 1 and self.precompute_volume):
+        if self.adopt_mode == "rank" and not self.rank_enabled:
             raise ValueError(
                 "rank adoption requires the quadrant-volume prescreen "
                 "(prescreen_mode='volume', prescreen_stride>1, "
@@ -222,6 +225,24 @@ class CSPMConfig:
         if not 1 <= self.exact_iters:
             raise ValueError(
                 f"exact_iters must be >= 1, got {self.exact_iters}")
+
+    @property
+    def rank_enabled(self) -> bool:
+        """Rank adoption is only defined over the quadrant-volume
+        ranking (the measured schedule); configs without it -- e.g. the
+        no-volume fly path -- run "rank+exact" as all-exact."""
+        return (self.adopt_mode != "exact"
+                and self.prescreen_mode == "volume"
+                and self.prescreen_stride > 1 and self.precompute_volume)
+
+    @property
+    def rank_iters(self) -> int:
+        """Leading optimizer iterations that adopt on ranking costs."""
+        if not self.rank_enabled:
+            return 0
+        if self.adopt_mode == "rank":
+            return self.max_iter
+        return max(0, self.max_iter - self.exact_iters)
 
     @property
     def half_wnd(self) -> int:

@@ -477,13 +477,10 @@ def patchmatch(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
     """
     k_init, _ = jax.random.split(key)
     keys = iteration_keys(key, cfg)
-    rank = cfg.adopt_mode != "exact" and sparse_fn is not None
-    n_exact = (cfg.max_iter if not rank else
-               0 if cfg.adopt_mode == "rank" else
-               min(cfg.exact_iters, cfg.max_iter))
-    n_rank = cfg.max_iter - n_exact if rank else 0
+    n_rank = cfg.rank_iters if sparse_fn is not None else 0
+    n_exact = cfg.max_iter - n_rank
 
-    state = init_state(k_init, hw, sparse_fn if rank else cost_fn, cfg)
+    state = init_state(k_init, hw, sparse_fn if n_rank else cost_fn, cfg)
     if n_rank:
         # adoption compares sparse_fn units against state.cost built from
         # sparse_fn -- consistent; no prescreen-within-rank (it IS the

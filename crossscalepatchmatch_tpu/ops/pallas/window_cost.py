@@ -135,6 +135,11 @@ def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
     b_cost = (al * jnp.minimum(b_clr, tau_clr)
               + be * jnp.minimum(jnp.abs(ref[3] - bt), tau_grd))
 
+    # Static unroll over slices (a fori_loop over 8-slice blocks with a
+    # dynamic-offset store measured >4x SLOWER to compile on the Mosaic
+    # AOT helper, >18 min vs ~5 min unrolled at dpad=64 -- the dynamic
+    # sublane store + stack apparently defeats its scheduling).
+    sgn = jnp.where(left, 1, -1)
     for d in range(dpad):
         off = jnp.where(left, dpad - 1 - d, dpad - 1 + d) * step
         oth = [pltpu.roll(oth_slab[c], slab_w - off, 1)[:, :wt]
@@ -143,7 +148,11 @@ def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
                + jnp.abs(ref[2] - oth[2])) * inv3
         cost = (al * jnp.minimum(clr, tau_clr)
                 + be * jnp.minimum(jnp.abs(ref[3] - oth[3]), tau_grd))
-        in_rng = jnp.where(left, gx_s - d >= 0, gx_s + d <= ws - 1)
+        # in-range test without a select on i1 vectors (Mosaic cannot
+        # legalize those): left needs gx_s >= d, right gx_s <= ws-1-d;
+        # both are sgn*gx_s >= bound with per-view scalars.
+        bound = jnp.where(left, d, -(ws - 1 - d))
+        in_rng = gx_s * sgn >= bound
         vol_tile[:, d, :] = jnp.where(in_rng, cost, b_cost)
 
 

@@ -419,10 +419,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     # at the boundary.  The it_lo/it_hi checkpoint slices stay coherent:
     # a state saved inside the rank phase holds rank-unit costs and the
     # refresh replays whenever a slice crosses the boundary.
-    rank_mode = cfg.adopt_mode != "exact" and sparse_fn is not None
-    n_rank = (0 if not rank_mode else
-              cfg.max_iter if cfg.adopt_mode == "rank" else
-              max(0, cfg.max_iter - cfg.exact_iters))
+    n_rank = cfg.rank_iters if sparse_fn is not None else 0
 
     k_init, k_loop = jax.random.split(key)
     if state_in is None:

@@ -101,10 +101,13 @@ class TestEndToEnd:
         with pytest.raises(ValueError):
             small_cfg(adopt_mode="fastest")
         with pytest.raises(ValueError):
-            # rank adoption needs the quadrant prescreen
+            # pure rank adoption needs the quadrant prescreen
             small_cfg(adopt_mode="rank", prescreen_mode="window")
-        with pytest.raises(ValueError):
-            small_cfg(adopt_mode="rank+exact", prescreen_stride=1)
+        # rank+exact without the quadrant prescreen degrades gracefully
+        # to all-exact adoption (e.g. the no-volume fly path)
+        cfg = small_cfg(adopt_mode="rank+exact", prescreen_stride=1)
+        assert not cfg.rank_enabled and cfg.rank_iters == 0
+        assert small_cfg(adopt_mode="rank+exact").rank_iters == 1
 
 
 class TestPostprocessUnits:
