@@ -146,6 +146,16 @@ class CSPMConfig:
     # launches ~1/3.  Hence rank+exact/2 is the production default;
     # adopt_mode="exact" remains the reference-faithful schedule.
     exact_iters: int = 2
+    # Fold the view-propagation candidate into the last spatial sweep's
+    # candidate batch (one K=2 exact launch instead of two K=1 launches
+    # per iteration).  The kernel's per-launch cost is ~125 ms fixed +
+    # ~35 ms/candidate at bench scale, so merging removes one fixed cost
+    # per iteration.  Trajectory note: the merged view candidate is
+    # gathered from the state BEFORE the last sweep's spatial adoption
+    # (the reference gathers after, cs_patchmatch.cc:61-99); both views
+    # still exchange planes once per iteration, and the parity matrix is
+    # the guard (BASELINE.md).
+    merge_view: bool = True
 
     # --- cost model constants ---------------------------------------------
     cost_alpha: float = 0.1     # color/gradient mixing weight

@@ -342,18 +342,25 @@ def _stencil(cfg: CSPMConfig, sweep: int = 0) -> List[Tuple[int, int]]:
 
 def spatial_sweep(state: PMState, cost_fn: CostFn, cfg: CSPMConfig,
                   sweep: int = 0,
-                  sparse_fn: CostFn | None = None) -> PMState:
-    """One dense propagation sweep: every pixel tests its stencil's planes."""
+                  sparse_fn: CostFn | None = None,
+                  extra: jax.Array | None = None) -> PMState:
+    """One dense propagation sweep: every pixel tests its stencil's planes.
+
+    `extra` ([2, E, H, W, 3]) joins the candidate batch AFTER the
+    prescreen narrowing (used by cfg.merge_view to ride the view-
+    propagation candidate on the sweep's exact launch).
+    """
     cands = [jnp.roll(state.abc, (dy, dx), axis=(1, 2))
              for dy, dx in _stencil(cfg, sweep)]
     cand_abc = _prescreen(jnp.stack(cands, axis=1), sparse_fn)
+    if extra is not None:
+        cand_abc = jnp.concatenate([cand_abc, extra], axis=1)
     cand_cost = cost_fn(cand_abc)
     return _adopt(state, cand_abc, cand_cost)
 
 
-def view_propagation(state: PMState, cost_fn: CostFn,
-                     cfg: CSPMConfig) -> PMState:
-    """Cross-view plane transfer as a gather.
+def view_candidates(state: PMState, cfg: CSPMConfig) -> jax.Array:
+    """Cross-view plane-transfer candidates as a gather.
 
     For each pixel x of view v: warp by the pixel's own current disparity to
     the corresponding column of the other view, read that pixel's plane,
@@ -361,6 +368,8 @@ def view_propagation(state: PMState, cost_fn: CostFn,
     re-anchor the plane through (x, y, d) with the same orientation
     (cs_patchmatch.cc:265-267).  Out-of-range warps wrap by +-W
     (HandleBorder, commfunc.h:129-145).
+
+    Returns f32[2, 1, H, W, 3].
     """
     _, h, w, _ = state.abc.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -380,7 +389,13 @@ def view_propagation(state: PMState, cost_fn: CostFn,
     # Left pixels correspond to right columns x - d; right to left x + d.
     cand_l = per_view(state.abc[0], state.abc[1], -1)
     cand_r = per_view(state.abc[1], state.abc[0], +1)
-    cand_abc = jnp.stack([cand_l, cand_r])[:, None]   # [2, 1, H, W, 3]
+    return jnp.stack([cand_l, cand_r])[:, None]       # [2, 1, H, W, 3]
+
+
+def view_propagation(state: PMState, cost_fn: CostFn,
+                     cfg: CSPMConfig) -> PMState:
+    """Standalone view-propagation step (see view_candidates)."""
+    cand_abc = view_candidates(state, cfg)
     cand_cost = cost_fn(cand_abc)
     return _adopt(state, cand_abc, cand_cost)
 
@@ -446,11 +461,18 @@ def iteration_step(state: PMState, key: jax.Array, cost_fn: CostFn,
                    cfg: CSPMConfig,
                    sparse_fn: CostFn | None = None) -> PMState:
     """One outer PatchMatch iteration: propagation sweeps, view
-    propagation, refinement (the loop body of cs_patchmatch.cc:61-99)."""
+    propagation, refinement (the loop body of cs_patchmatch.cc:61-99).
+
+    With cfg.merge_view the view-propagation candidate joins the last
+    sweep's candidate batch (one launch fewer; see config.merge_view).
+    """
     for i in range(cfg.prop_sweeps):
-        state = spatial_sweep(state, cost_fn, cfg, sweep=i,
-                              sparse_fn=sparse_fn)
-    state = view_propagation(state, cost_fn, cfg)
+        merge = cfg.merge_view and i == cfg.prop_sweeps - 1
+        state = spatial_sweep(
+            state, cost_fn, cfg, sweep=i, sparse_fn=sparse_fn,
+            extra=view_candidates(state, cfg) if merge else None)
+    if not (cfg.merge_view and cfg.prop_sweeps > 0):
+        state = view_propagation(state, cost_fn, cfg)
     state = plane_refinement(state, key, cost_fn, cfg, sparse_fn=sparse_fn)
     return state
 

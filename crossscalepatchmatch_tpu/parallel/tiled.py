@@ -428,7 +428,8 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     else:
         state = pm.PMState(abc=state_in[0], cost=state_in[1])
 
-    def sweep(state: pm.PMState, i: int, cf, sf) -> pm.PMState:
+    def sweep(state: pm.PMState, i: int, cf, sf,
+              extra=None) -> pm.PMState:
         # the stencil is axis-aligned, so row offsets come from the
         # row-extended field and (when columns are sharded) column offsets
         # from the column-extended one; corners are never needed
@@ -445,6 +446,8 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                 cands.append(jnp.roll(ext_r, (dy, dx),
                                       axis=(1, 2))[:, far:far + hs])
         cand_abc = pm._prescreen(jnp.stack(cands, axis=1), sf)
+        if extra is not None:
+            cand_abc = jnp.concatenate([cand_abc, extra], axis=1)
         return pm._adopt(state, cand_abc, cf(cand_abc))
 
     def _abc_global_x(abc):
@@ -454,11 +457,11 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         xoff = ((jnp.arange(w_glob) // ws) * ws).astype(jnp.float32)
         return abc_g.at[..., 2].add(-abc_g[..., 0] * xoff[None, None, :])
 
-    def view_prop_tx(state: pm.PMState, cf) -> pm.PMState:
-        """Cross-view plane transfer when columns are sharded: the x-warp
-        gather crosses tx shards, so it runs on full-width (global-x)
-        plane rows and the local column block is sliced back out
-        (semantics of models.patchmatch.view_propagation)."""
+    def view_cands_tx(state: pm.PMState) -> jax.Array:
+        """Cross-view plane-transfer candidates when columns are sharded:
+        the x-warp gather crosses tx shards, so it runs on full-width
+        (global-x) plane rows and the local column block is sliced back
+        out (semantics of models.patchmatch.view_candidates)."""
         abc_g = _abc_global_x(state.abc)
         ys = jax.lax.broadcasted_iota(jnp.float32, (hs, w_glob), 0)
         xs = jax.lax.broadcasted_iota(jnp.float32, (hs, w_glob), 1)
@@ -478,17 +481,21 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                           per_view(abc_g[1], abc_g[0], +1)])
         cand = jax.lax.dynamic_slice_in_dim(cand, col0, ws, axis=2)
         cand = cand.at[..., 2].add(cand[..., 0] * col0)   # back to local x
-        cand_abc = cand[:, None]
-        return pm._adopt(state, cand_abc, cf(cand_abc))
+        return cand[:, None]
+
+    def view_cands(state: pm.PMState) -> jax.Array:
+        return (view_cands_tx(state) if n_tx > 1
+                else pm.view_candidates(state, cfg))
 
     def iteration(cf, sf):
         def step(state, it_key):
             for i in range(cfg.prop_sweeps):
-                state = sweep(state, i, cf, sf)
-            if n_tx > 1:
-                state = view_prop_tx(state, cf)
-            else:
-                state = pm.view_propagation(state, cf, cfg)
+                merge = cfg.merge_view and i == cfg.prop_sweeps - 1
+                state = sweep(state, i, cf, sf,
+                              extra=view_cands(state) if merge else None)
+            if not (cfg.merge_view and cfg.prop_sweeps > 0):
+                cand_abc = view_cands(state)
+                state = pm._adopt(state, cand_abc, cf(cand_abc))
             state = pm.plane_refinement(state, it_key, cf, cfg,
                                         sparse_fn=sf)
             return state, None
