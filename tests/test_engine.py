@@ -70,6 +70,17 @@ class TestEndToEnd:
         bad_pp = bad_pixel_rate(out_pp["dis"][0] / s, pair.disp_left, None)
         assert bad_pp <= bad_raw + 0.02
 
+    def test_standalone_view_propagation(self):
+        # merge_view=False keeps view propagation as its own adoption step
+        # (the reference's step order, cs_patchmatch.cc:61-99); it must
+        # converge like the merged default
+        pair = make_pair(**SMALL)
+        cfg = small_cfg(merge_view=False)
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.15, f"merge_view=False bad rate too high: {bad:.3f}"
+
     def test_deterministic_given_seed(self):
         pair = make_pair(**SMALL)
         cfg = small_cfg()
