@@ -181,26 +181,33 @@ def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
 
     # Rank-adoption scheduling (models.patchmatch.patchmatch): iterations
     # [0, n_rank) adopt on the quadrant ranking costs, the rest on exact
-    # costs, with one exact state-cost refresh at the boundary.  A
-    # checkpoint saved inside the rank phase holds rank-unit costs; the
-    # refresh replays at loop index n_rank whether or not the process
-    # restarted, so resume stays bit-exact.
+    # costs.  Crossing the boundary uses the same deferred-cost entry as
+    # patchmatch(): the held rank-unit cost is invalidated to +inf and
+    # iteration n_rank's first sweep evaluates the current plane as a
+    # prepended candidate (include_current).  A checkpoint saved inside
+    # the rank phase holds rank-unit costs; the invalidation replays at
+    # loop index n_rank whether or not the process restarted, so resume
+    # stays bit-exact.
     n_rank = cfg.rank_iters
+    defer = cfg.prop_sweeps > 0 and cfg.max_iter > n_rank
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _init(vd, seed, cfg):
         cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
         key = jax.random.PRNGKey(seed)
         k_init, _ = jax.random.split(key)
-        return pm.init_state(k_init, (h, w),
-                             sparse_fn if n_rank else cost_fn, cfg)
+        init_fn = sparse_fn if n_rank else (None if defer else cost_fn)
+        return pm.init_state(k_init, (h, w), init_fn, cfg)
 
-    @functools.partial(jax.jit, static_argnames=("cfg", "rank"))
-    def _step(vd, seed, state, iteration, cfg, rank):
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg", "rank", "include_current"))
+    def _step(vd, seed, state, iteration, cfg, rank,
+              include_current=False):
         cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
         cf, sf = (sparse_fn, None) if rank else (cost_fn, sparse_fn)
         keys = pm.iteration_keys(jax.random.PRNGKey(seed), cfg)
-        return pm.iteration_step(state, keys[iteration], cf, cfg, sf)
+        return pm.iteration_step(state, keys[iteration], cf, cfg, sf,
+                                 include_current=include_current)
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _refresh(vd, state, cfg):
@@ -227,11 +234,21 @@ def run_pair_resumable(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, ckpt_path: str,
         state, start = resumed
 
     for it in range(start, cfg.max_iter):
+        inc = False
         if n_rank and it == n_rank:
-            # crossing rank->exact: refresh the held cost in exact units
-            state = _refresh(vd, state, cfg)
+            # crossing rank->exact: invalidate (defer) or refresh the
+            # held cost in exact units
+            if defer:
+                state = pm.PMState(
+                    abc=state.abc,
+                    cost=jnp.full_like(state.cost, jnp.inf))
+                inc = True
+            else:
+                state = _refresh(vd, state, cfg)
+        elif defer and not n_rank and it == 0:
+            inc = True     # deferred init eval ("exact" mode)
         state = _step(vd, jnp.int32(seed), state, jnp.int32(it), cfg,
-                      rank=it < n_rank)
+                      rank=it < n_rank, include_current=inc)
         jax.block_until_ready(state.abc)
         save_state(ckpt_path, state, it + 1, cfg, seed)
 

@@ -343,16 +343,27 @@ def _stencil(cfg: CSPMConfig, sweep: int = 0) -> List[Tuple[int, int]]:
 def spatial_sweep(state: PMState, cost_fn: CostFn, cfg: CSPMConfig,
                   sweep: int = 0,
                   sparse_fn: CostFn | None = None,
-                  extra: jax.Array | None = None) -> PMState:
+                  extra: jax.Array | None = None,
+                  include_current: bool = False) -> PMState:
     """One dense propagation sweep: every pixel tests its stencil's planes.
 
     `extra` ([2, E, H, W, 3]) joins the candidate batch AFTER the
     prescreen narrowing (used by cfg.merge_view to ride the view-
     propagation candidate on the sweep's exact launch).
+
+    `include_current` PREPENDS the current plane to the candidate batch:
+    the deferred-cost trick (see patchmatch()) -- a state whose held cost
+    is +inf (rank-unit, or never evaluated) gets its exact cost from the
+    same launch that evaluates the sweep winner, saving the standalone
+    K=1 refresh launch.  Prepended, not appended, so a cost tie keeps
+    the current plane exactly like the reference's strict-improvement
+    adoption (cs_patchmatch.cc:201,209).
     """
     cands = [jnp.roll(state.abc, (dy, dx), axis=(1, 2))
              for dy, dx in _stencil(cfg, sweep)]
     cand_abc = _prescreen(jnp.stack(cands, axis=1), sparse_fn)
+    if include_current:
+        cand_abc = jnp.concatenate([state.abc[:, None], cand_abc], axis=1)
     if extra is not None:
         cand_abc = jnp.concatenate([cand_abc, extra], axis=1)
     cand_cost = cost_fn(cand_abc)
@@ -448,29 +459,41 @@ def plane_refinement(state: PMState, key: jax.Array, cost_fn: CostFn,
     return state
 
 
-def init_state(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
-               cfg: CSPMConfig) -> PMState:
-    """Random plane init + initial cost (cs_patchmatch.cc:115-148)."""
+def init_state(key: jax.Array, hw: Tuple[int, int],
+               cost_fn: CostFn | None, cfg: CSPMConfig) -> PMState:
+    """Random plane init + initial cost (cs_patchmatch.cc:115-148).
+
+    cost_fn=None defers the initial evaluation: the held cost is +inf and
+    the first sweep's include_current launch establishes it (deferred-cost
+    entry, see patchmatch()).
+    """
     h, w = hw
     abc = plane.random_planes(key, (2, h, w), float(cfg.max_dis), cfg.eps)
+    if cost_fn is None:
+        return PMState(abc=abc, cost=jnp.full((2,) + hw, jnp.inf,
+                                              jnp.float32))
     cost = cost_fn(abc[:, None])[:, 0]
     return PMState(abc=abc, cost=cost)
 
 
 def iteration_step(state: PMState, key: jax.Array, cost_fn: CostFn,
                    cfg: CSPMConfig,
-                   sparse_fn: CostFn | None = None) -> PMState:
+                   sparse_fn: CostFn | None = None,
+                   include_current: bool = False) -> PMState:
     """One outer PatchMatch iteration: propagation sweeps, view
     propagation, refinement (the loop body of cs_patchmatch.cc:61-99).
 
     With cfg.merge_view the view-propagation candidate joins the last
     sweep's candidate batch (one launch fewer; see config.merge_view).
+    `include_current` is forwarded to the FIRST sweep (deferred-cost
+    entry, see patchmatch()).
     """
     for i in range(cfg.prop_sweeps):
         merge = cfg.merge_view and i == cfg.prop_sweeps - 1
         state = spatial_sweep(
             state, cost_fn, cfg, sweep=i, sparse_fn=sparse_fn,
-            extra=view_candidates(state, cfg) if merge else None)
+            extra=view_candidates(state, cfg) if merge else None,
+            include_current=include_current and i == 0)
     if not (cfg.merge_view and cfg.prop_sweeps > 0):
         state = view_propagation(state, cost_fn, cfg)
     state = plane_refinement(state, key, cost_fn, cfg, sparse_fn=sparse_fn)
@@ -494,15 +517,25 @@ def patchmatch(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
       * "rank": every decision on the quadrant ranking costs (sparse_fn
         as the adoption metric; no exact evaluations at all).
       * "rank+exact": rank mode for the first max_iter - exact_iters
-        iterations, then one exact state-cost refresh and exact_iters
-        exact final iterations.
+        iterations, then exact_iters exact final iterations.
+
+    Deferred-cost entry into the exact phase (prop_sweeps > 0): instead
+    of a standalone K=1 exact evaluation of the held planes (the init
+    eval in "exact" mode / the rank->exact cost refresh), the held cost
+    is set to +inf and the first exact sweep evaluates the current plane
+    as a PREPENDED candidate in the same launch as the sweep winner --
+    argmin over {current, winner} with current first equals strict-
+    improvement adoption against a refreshed cost, so the trajectory is
+    identical while one fixed-launch-cost K=1 evaluation disappears.
     """
     k_init, _ = jax.random.split(key)
     keys = iteration_keys(key, cfg)
     n_rank = cfg.rank_iters if sparse_fn is not None else 0
     n_exact = cfg.max_iter - n_rank
+    defer = cfg.prop_sweeps > 0 and n_exact > 0
 
-    state = init_state(k_init, hw, sparse_fn if n_rank else cost_fn, cfg)
+    init_fn = sparse_fn if n_rank else (None if defer else cost_fn)
+    state = init_state(k_init, hw, init_fn, cfg)
     if n_rank:
         # adoption compares sparse_fn units against state.cost built from
         # sparse_fn -- consistent; no prescreen-within-rank (it IS the
@@ -512,14 +545,23 @@ def patchmatch(key: jax.Array, hw: Tuple[int, int], cost_fn: CostFn,
                            None),
             state, keys[:n_rank])
     if n_rank and n_exact:
-        # switch metrics: refresh the held cost in exact units
-        state = PMState(abc=state.abc,
-                        cost=cost_fn(state.abc[:, None])[:, 0])
+        # switch metrics: the held rank-unit cost is not comparable to
+        # exact costs; invalidate it (defer) or refresh it exactly
+        state = PMState(
+            abc=state.abc,
+            cost=(jnp.full_like(state.cost, jnp.inf) if defer
+                  else cost_fn(state.abc[:, None])[:, 0]))
     if n_exact:
-        state, _ = jax.lax.scan(
-            lambda st, k: (iteration_step(st, k, cost_fn, cfg, sparse_fn),
-                           None),
-            state, keys[n_rank:])
+        k0 = n_rank
+        if defer:
+            state = iteration_step(state, keys[k0], cost_fn, cfg,
+                                   sparse_fn, include_current=True)
+            k0 += 1
+        if cfg.max_iter > k0:
+            state, _ = jax.lax.scan(
+                lambda st, k: (iteration_step(st, k, cost_fn, cfg,
+                                              sparse_fn), None),
+                state, keys[k0:])
     return state
 
 

@@ -105,12 +105,26 @@ def run_pair_warm(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
     Returns: same dict as run_pair.
     """
     cost_fn, sparse_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
-    state = pm.PMState(abc=init_abc, cost=cost_fn(init_abc[:, None])[:, 0])
     keys = jax.random.split(jax.random.PRNGKey(seed), warm_iters)
-    state, _ = jax.lax.scan(
-        lambda st, k: (pm.iteration_step(st, k, cost_fn, cfg, sparse_fn),
-                       None),
-        state, keys)
+    defer = cfg.prop_sweeps > 0 and warm_iters > 0
+    if defer:
+        # deferred-cost entry (models.patchmatch.patchmatch): the seed
+        # field's exact cost against the NEW frame rides the first
+        # sweep's launch instead of a standalone K=1 evaluation
+        state = pm.PMState(abc=init_abc,
+                           cost=jnp.full(init_abc.shape[:-1], jnp.inf,
+                                         jnp.float32))
+        state = pm.iteration_step(state, keys[0], cost_fn, cfg, sparse_fn,
+                                  include_current=True)
+        keys = keys[1:]
+    else:
+        state = pm.PMState(abc=init_abc,
+                           cost=cost_fn(init_abc[:, None])[:, 0])
+    if warm_iters - int(defer) > 0:
+        state, _ = jax.lax.scan(
+            lambda st, k: (pm.iteration_step(st, k, cost_fn, cfg,
+                                             sparse_fn), None),
+            state, keys)
     return _finalize(state, pp_imgs, cfg)
 
 

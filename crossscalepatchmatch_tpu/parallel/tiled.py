@@ -420,16 +420,21 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     # a state saved inside the rank phase holds rank-unit costs and the
     # refresh replays whenever a slice crosses the boundary.
     n_rank = cfg.rank_iters if sparse_fn is not None else 0
+    # deferred-cost entry into the exact phase (see
+    # models.patchmatch.patchmatch): the exact-phase entry cost rides the
+    # first exact sweep's include_current launch instead of a standalone
+    # K=1 evaluation
+    defer = cfg.prop_sweeps > 0 and cfg.max_iter > n_rank
 
     k_init, k_loop = jax.random.split(key)
     if state_in is None:
-        state = pm.init_state(k_init, (hs, ws),
-                              sparse_fn if n_rank else cost_fn, cfg)
+        init_fn = sparse_fn if n_rank else (None if defer else cost_fn)
+        state = pm.init_state(k_init, (hs, ws), init_fn, cfg)
     else:
         state = pm.PMState(abc=state_in[0], cost=state_in[1])
 
-    def sweep(state: pm.PMState, i: int, cf, sf,
-              extra=None) -> pm.PMState:
+    def sweep(state: pm.PMState, i: int, cf, sf, extra=None,
+              include_current: bool = False) -> pm.PMState:
         # the stencil is axis-aligned, so row offsets come from the
         # row-extended field and (when columns are sharded) column offsets
         # from the column-extended one; corners are never needed
@@ -446,6 +451,11 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                 cands.append(jnp.roll(ext_r, (dy, dx),
                                       axis=(1, 2))[:, far:far + hs])
         cand_abc = pm._prescreen(jnp.stack(cands, axis=1), sf)
+        if include_current:
+            # prepended: a cost tie keeps the current plane (see
+            # models.patchmatch.spatial_sweep)
+            cand_abc = jnp.concatenate([state.abc[:, None], cand_abc],
+                                       axis=1)
         if extra is not None:
             cand_abc = jnp.concatenate([cand_abc, extra], axis=1)
         return pm._adopt(state, cand_abc, cf(cand_abc))
@@ -487,12 +497,13 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         return (view_cands_tx(state) if n_tx > 1
                 else pm.view_candidates(state, cfg))
 
-    def iteration(cf, sf):
+    def iteration(cf, sf, include_current=False):
         def step(state, it_key):
             for i in range(cfg.prop_sweeps):
                 merge = cfg.merge_view and i == cfg.prop_sweeps - 1
                 state = sweep(state, i, cf, sf,
-                              extra=view_cands(state) if merge else None)
+                              extra=view_cands(state) if merge else None,
+                              include_current=include_current and i == 0)
             if not (cfg.merge_view and cfg.prop_sweeps > 0):
                 cand_abc = view_cands(state)
                 state = pm._adopt(state, cand_abc, cf(cand_abc))
@@ -505,14 +516,23 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     all_keys = jax.random.split(k_loop, cfg.max_iter)
     keys_rank = all_keys[it_lo:min(hi, n_rank)]
     keys_exact = all_keys[max(it_lo, n_rank):hi]
+    first_exact = (defer and keys_exact.shape[0]
+                   and max(it_lo, n_rank) == n_rank)
     if keys_rank.shape[0]:
         state, _ = jax.lax.scan(iteration(sparse_fn, None),
                                 state, keys_rank)
     if keys_exact.shape[0] and n_rank and it_lo <= n_rank:
-        # crossing the rank->exact boundary: refresh the held cost in
-        # exact units
-        state = pm.PMState(abc=state.abc,
-                           cost=cost_fn(state.abc[:, None])[:, 0])
+        # crossing the rank->exact boundary: the held rank-unit cost is
+        # not comparable to exact costs -- invalidate (defer) or refresh
+        state = pm.PMState(
+            abc=state.abc,
+            cost=(jnp.full_like(state.cost, jnp.inf) if defer
+                  else cost_fn(state.abc[:, None])[:, 0]))
+    if first_exact:
+        # iteration n_rank establishes the exact cost via include_current
+        state, _ = iteration(cost_fn, sparse_fn, include_current=True)(
+            state, keys_exact[0])
+        keys_exact = keys_exact[1:]
     if keys_exact.shape[0]:
         state, _ = jax.lax.scan(iteration(cost_fn, sparse_fn),
                                 state, keys_exact)
