@@ -111,6 +111,58 @@ class TestEndToEnd:
     def test_rank_adoption_modes_validate(self):
         with pytest.raises(ValueError):
             small_cfg(adopt_mode="fastest")
+
+    def test_deferred_cost_entry_matches_refresh(self):
+        """The deferred-cost entry (held cost invalidated to +inf, current
+        plane prepended to the first exact sweep) must reproduce the
+        refresh-style trajectory (standalone K=1 exact evaluation of the
+        held planes) plane-for-plane.  Both trajectories are composed
+        here as unrolled loops so only the entry style differs."""
+        from crossscalepatchmatch_tpu.ops.cost_volume import (
+            build_volume_data)
+        pair = make_pair(**SMALL)
+        h, w = SMALL["h"], SMALL["w"]
+
+        for n_rank_cfg in ("exact", "rank+exact"):
+            cfg = small_cfg(adopt_mode=n_rank_cfg)
+            vd = build_volume_data(jnp.asarray(pair.left),
+                                   jnp.asarray(pair.right), cfg)
+            cost_fn, sparse_fn = pm.make_cost_fns(cfg, vd)
+            key = jax.random.PRNGKey(5)
+            k_init, _ = jax.random.split(key)
+            keys = pm.iteration_keys(key, cfg)
+            n_rank = cfg.rank_iters if n_rank_cfg == "rank+exact" else 0
+
+            def rank_phase():
+                st = pm.init_state(k_init, (h, w),
+                                   sparse_fn if n_rank else None, cfg)
+                for i in range(n_rank):
+                    st = pm.iteration_step(st, keys[i], sparse_fn, cfg)
+                return st
+
+            # refresh style: standalone K=1 exact eval of the held planes
+            st_a = rank_phase()
+            st_a = pm.PMState(abc=st_a.abc,
+                              cost=cost_fn(st_a.abc[:, None])[:, 0])
+            for i in range(n_rank, cfg.max_iter):
+                st_a = pm.iteration_step(st_a, keys[i], cost_fn, cfg,
+                                         sparse_fn)
+
+            # deferred style: +inf held cost, include_current first sweep
+            st_b = rank_phase()
+            st_b = pm.PMState(abc=st_b.abc,
+                              cost=jnp.full_like(st_b.cost, jnp.inf))
+            for i in range(n_rank, cfg.max_iter):
+                st_b = pm.iteration_step(st_b, keys[i], cost_fn, cfg,
+                                         sparse_fn,
+                                         include_current=i == n_rank)
+
+            np.testing.assert_array_equal(np.asarray(st_a.abc),
+                                          np.asarray(st_b.abc))
+            # held costs may differ by fusion-order ulps on tie pixels
+            np.testing.assert_allclose(np.asarray(st_a.cost),
+                                       np.asarray(st_b.cost),
+                                       rtol=1e-5, atol=1e-5)
         with pytest.raises(ValueError):
             # pure rank adoption needs the quadrant prescreen
             small_cfg(adopt_mode="rank", prescreen_mode="window")
