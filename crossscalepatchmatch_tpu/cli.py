@@ -31,13 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="crossscalepatchmatch_tpu",
         description="TPU-native cross-scale PatchMatch stereo")
-    # the reference's ten flags (main.cc:23-34)
-    p.add_argument("--l_img_file", required=True, help="left view PNG")
-    p.add_argument("--r_img_file", required=True, help="right view PNG")
-    p.add_argument("--l_dis_file", required=True,
-                   help="output left disparity PNG")
-    p.add_argument("--r_dis_file", required=True,
-                   help="output right disparity PNG")
+    # the reference's ten flags (main.cc:23-34); required unless
+    # --input_list supplies them per line
+    p.add_argument("--l_img_file", help="left view PNG")
+    p.add_argument("--r_img_file", help="right view PNG")
+    p.add_argument("--l_dis_file", help="output left disparity PNG")
+    p.add_argument("--r_dis_file", help="output right disparity PNG")
     p.add_argument("--max_dis", type=int, default=60)
     p.add_argument("--dis_scale", type=int, default=4)
     p.add_argument("--cc_name", choices=["GRD", "CEN"], default="GRD")
@@ -59,9 +58,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="window subsample stride for candidate ranking "
                         "(1 disables prescreening)")
     p.add_argument("--prescreen_mode", choices=["window", "volume"],
-                   default="window",
+                   default="volume",
                    help="candidate ranking: strided window samples or "
-                        "precomputed ASW quadrant volumes")
+                        "precomputed ASW quadrant volumes (the production "
+                        "default, config.CSPMConfig.prescreen_mode)")
+    p.add_argument("--adopt_mode", choices=["exact", "rank", "rank+exact"],
+                   default="rank+exact",
+                   help="adoption metric schedule; 'exact' is the "
+                        "reference-faithful schedule")
+    p.add_argument("--exact_iters", type=int, default=2,
+                   help="final exact iterations under adopt_mode="
+                        "rank+exact")
+    p.add_argument("--merge_view", type=_bool, default=True,
+                   help="fold the view-propagation candidate into the "
+                        "last spatial sweep's evaluation")
+    p.add_argument("--precompute_volume", type=_bool, default=True,
+                   help="false = fused on-the-fly GRD kernel (no cost "
+                        "volume in HBM)")
+    p.add_argument("--input_list", default=None,
+                   help="file of flag lines (the reference's input.txt "
+                        "format); runs every line in one process so "
+                        "same-config runs share the compile cache")
     p.add_argument("--oracle", action="store_true",
                    help="run the native CPU oracle instead of the TPU engine")
     p.add_argument("--profile_dir", default=None,
@@ -71,8 +88,33 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.input_list:
+        # batch mode: one line = one run (the reference's input.txt,
+        # CSPM/input.txt:1-20).  Same-config lines share the jit cache,
+        # so only the first pays the compile.
+        import shlex
+        parser = build_parser()
+        rc = 0
+        with open(args.input_list) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                toks = shlex.split(line)
+                if toks and not toks[0].startswith("-"):
+                    toks = toks[1:]          # leading binary name
+                rc |= _run_one(parser.parse_args(toks))
+        return rc
+    return _run_one(args)
 
+
+def _run_one(args) -> int:
     from . import io as cspm_io
+
+    for f in ("l_img_file", "r_img_file", "l_dis_file", "r_dis_file"):
+        if getattr(args, f) is None:
+            print(f"error: --{f} is required", file=sys.stderr)
+            return 1
 
     l_bgr = cspm_io.read_bgr(args.l_img_file)
     r_bgr = cspm_io.read_bgr(args.r_img_file)
@@ -102,7 +144,10 @@ def main(argv=None) -> int:
             scale_num=args.scale_num, aggregator=Aggregator[args.aggregator],
             use_pallas=args.use_pallas,
             prescreen_stride=args.prescreen_stride,
-            prescreen_mode=args.prescreen_mode)
+            prescreen_mode=args.prescreen_mode,
+            adopt_mode=args.adopt_mode, exact_iters=args.exact_iters,
+            merge_view=args.merge_view,
+            precompute_volume=args.precompute_volume)
         if args.profile_dir:
             import jax
             with jax.profiler.trace(args.profile_dir):
