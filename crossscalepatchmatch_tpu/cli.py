@@ -95,7 +95,12 @@ def main(argv=None) -> int:
         import shlex
         parser = build_parser()
         rc = 0
-        with open(args.input_list) as fh:
+        try:
+            fh = open(args.input_list)
+        except OSError as e:
+            print(f"error: cannot read --input_list: {e}", file=sys.stderr)
+            return 1
+        with fh:
             for line in fh:
                 line = line.strip()
                 if not line or line.startswith("#"):
