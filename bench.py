@@ -50,6 +50,13 @@ def main():
     if "--measure-baseline" in sys.argv:
         measure_baseline()
         return
+    from crossscalepatchmatch_tpu.utils.probe import backend_reachable
+    if not backend_reachable():
+        # the axon tunnel hangs (not errors) when down; fail fast instead
+        # of blocking the caller forever
+        print("bench: device backend unreachable (tunnel down?), aborting",
+              file=sys.stderr)
+        sys.exit(2)
     import jax
     import os as _os
     # persistent compile cache (env-var spelling is not

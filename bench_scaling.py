@@ -142,7 +142,12 @@ def main():
     if args.project:
         return project(args)
 
+    from crossscalepatchmatch_tpu.utils.probe import backend_reachable
     import jax
+    if not backend_reachable():
+        print("bench_scaling: device backend unreachable, aborting",
+              file=sys.stderr)
+        sys.exit(2)
     import jax.numpy as jnp
 
     from crossscalepatchmatch_tpu import CSPMConfig, CostMethod

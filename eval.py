@@ -73,7 +73,14 @@ def main():
 
     import os as _os
 
+    from crossscalepatchmatch_tpu.utils.probe import backend_reachable
     import jax
+    if not backend_reachable():
+        # the tunnel hangs (not errors) when down; the parity matrix is
+        # backend-agnostic, so fall back to CPU rather than freeze
+        print("eval: device backend unreachable, falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
     # persistent compile cache (env-var spellings ignored by this build)
     jax.config.update(
         "jax_compilation_cache_dir",
