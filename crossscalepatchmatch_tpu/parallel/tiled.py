@@ -583,14 +583,32 @@ def run_batch_sharded(l_bgr: jax.Array, r_bgr: jax.Array, seeds: jax.Array,
     Returns:
       u8[B, 2, H, W] scaled disparity maps.
     """
-    if not cfg.precompute_volume:
-        raise NotImplementedError(
-            "sharded path supports precomputed volumes only (the "
-            "on-the-fly GrdPC/CSPC cost is single-device)")
     shape = dict(mesh.shape)
     n_ty = shape["ty"]
     n_tx = shape.get("tx", 1)
     has_tx = "tx" in shape
+    if not cfg.precompute_volume:
+        if n_ty > 1 or n_tx > 1:
+            raise NotImplementedError(
+                "the on-the-fly GrdPC/CSPC cost supports batch data "
+                "parallelism only (its VMEM tile volume has no halo "
+                "form); use a (data, 1, 1) mesh or precompute_volume")
+        # data-only mesh: each pair is a whole single-device pipeline --
+        # shard the batch and run models.pipeline.run_pair per pair
+        from ..models.pipeline import run_pair
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=not (cfg.use_pallas
+                           and jax.default_backend() == "tpu"))
+        def fly_fn(l_blk, r_blk, seed_blk):
+            return jax.vmap(
+                lambda l1, r1, s: run_pair(l1, r1, s, cfg)["dis"])(
+                    l_blk, r_blk, seed_blk)
+
+        return fly_fn(l_bgr, r_bgr, seeds)
 
     # check_vma only where it must be off: pallas_call outputs carry no
     # varying-axes metadata, which the vma checker (on by default) rejects

@@ -215,6 +215,7 @@ class TestShardedPipeline:
         assert bad < max(2.0 * bad_s, 0.12), (bad, bad_s)
 
     def test_rejects_unsupported_configs(self):
+        # the on-the-fly cost has no halo form: spatial sharding rejects
         mesh = make_mesh(1, 8)
         cfg = small_cfg(precompute_volume=False)
         with pytest.raises(NotImplementedError):
@@ -222,3 +223,22 @@ class TestShardedPipeline:
                 jnp.zeros((1, 64, 64, 3), jnp.uint8),
                 jnp.zeros((1, 64, 64, 3), jnp.uint8),
                 jnp.zeros((1,), jnp.int32))
+
+    def test_fly_data_parallel_matches_single_device(self):
+        """precompute_volume=False on a data-only mesh runs each pair as
+        a whole single-device pipeline under shard_map; outputs must be
+        bit-identical to the unsharded pipeline."""
+        from crossscalepatchmatch_tpu.models.pipeline import run_pair
+
+        mesh = make_mesh(2, 1, 1, devices=jax.devices()[:2])
+        cfg = small_cfg(precompute_volume=False)
+        pairs = [make_pair(h=40, w=48, max_dis=12, seed=s) for s in (4, 9)]
+        l = jnp.stack([jnp.asarray(p.left) for p in pairs])
+        r = jnp.stack([jnp.asarray(p.right) for p in pairs])
+        seeds = jnp.array([3, 5], jnp.int32)
+
+        dis = np.asarray(jit_run_batch_sharded(cfg, mesh)(l, r, seeds))
+        assert dis.shape == (2, 2, 40, 48)
+        for b in range(2):
+            ref = np.asarray(run_pair(l[b], r[b], seeds[b], cfg)["dis"])
+            np.testing.assert_array_equal(dis[b], ref)
