@@ -687,3 +687,63 @@ def run_batch_sharded_steps(l_bgr: jax.Array, r_bgr: jax.Array,
 def jit_run_batch_sharded(cfg: CSPMConfig, mesh: Mesh):
     """jit-wrapped runner with cfg/mesh bound statically."""
     return jax.jit(functools.partial(run_batch_sharded, cfg=cfg, mesh=mesh))
+
+
+def run_sequence_batch(frames, cfg: CSPMConfig, mesh: Mesh, seed: int = 0,
+                       warm_iters: int = 1):
+    """Batched video serving: B independent streams over a data-only mesh.
+
+    Cold-starts every stream on the first frame, then warm-starts each
+    subsequent frame from its own stream's previous plane field.  Stream
+    b's trajectory is bit-identical to a standalone
+    models.pipeline.run_sequence_np(seed + 1000003*b) run (the per-stream
+    seed offset decorrelates the streams' RNG).
+
+    Args:
+      frames: iterable of (left u8[B, H, W, 3], right u8[B, H, W, 3])
+        batches -- frame t of all B streams; B divisible by mesh "data".
+      mesh: a (data, 1, 1) mesh (each stream is a whole single-device
+        pipeline; spatial sharding of warm frames is not supported).
+
+    Yields per frame: dict with "dis" u8[B, 2, H, W] and "abc"
+    f32[B, 2, H, W, 3].
+    """
+    shape = dict(mesh.shape)
+    if shape["ty"] > 1 or shape.get("tx", 1) > 1:
+        raise NotImplementedError(
+            "run_sequence_batch shards streams over 'data' only; use a "
+            "(data, 1, 1) mesh")
+    from ..models.pipeline import run_pair, run_pair_warm
+
+    spec = P("data")
+    check = not (cfg.use_pallas and jax.default_backend() == "tpu")
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=check)
+    def cold(l_blk, r_blk, seed_blk):
+        out = jax.vmap(lambda l1, r1, s: run_pair(l1, r1, s, cfg))(
+            l_blk, r_blk, seed_blk)
+        return out["dis"], out["abc"]
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=check)
+    def warm(l_blk, r_blk, seed_blk, abc_blk):
+        out = jax.vmap(
+            lambda l1, r1, s, a: run_pair_warm(l1, r1, s, a, cfg,
+                                               warm_iters=warm_iters))(
+                l_blk, r_blk, seed_blk, abc_blk)
+        return out["dis"], out["abc"]
+
+    abc = None
+    for i, (l, r) in enumerate(frames):
+        b = l.shape[0]
+        seeds = jnp.full((b,), seed + i, jnp.int32) + jnp.arange(
+            b, dtype=jnp.int32) * 1000003
+        if abc is None:
+            dis, abc = cold(jnp.asarray(l), jnp.asarray(r), seeds)
+        else:
+            dis, abc = warm(jnp.asarray(l), jnp.asarray(r), seeds, abc)
+        yield {"dis": dis, "abc": abc}

@@ -224,6 +224,30 @@ class TestShardedPipeline:
                 jnp.zeros((1, 64, 64, 3), jnp.uint8),
                 jnp.zeros((1,), jnp.int32))
 
+    def test_sequence_batch_matches_per_stream(self):
+        """Batched video serving over a data mesh: every stream's
+        trajectory must equal the standalone run_sequence_np run with the
+        stream's seed, bit-for-bit, across cold + warm frames."""
+        from crossscalepatchmatch_tpu.models.pipeline import run_sequence_np
+        from crossscalepatchmatch_tpu.parallel.tiled import (
+            run_sequence_batch)
+
+        mesh = make_mesh(2, 1, 1, devices=jax.devices()[:2])
+        cfg = small_cfg()
+        pairs = [make_pair(h=40, w=48, max_dis=12, seed=s) for s in (4, 9)]
+        frames = [(np.stack([p.left for p in pairs]),
+                   np.stack([p.right for p in pairs]))] * 3
+
+        batched = [
+            {k: np.asarray(v) for k, v in out.items()}
+            for out in run_sequence_batch(frames, cfg, mesh, seed=7)]
+        for b, p in enumerate(pairs):
+            solo = list(run_sequence_np([(p.left, p.right)] * 3, cfg,
+                                        seed=7 + 1000003 * b))
+            for t in range(3):
+                np.testing.assert_array_equal(batched[t]["dis"][b],
+                                              solo[t]["dis"])
+
     def test_fly_data_parallel_matches_single_device(self):
         """precompute_volume=False on a data-only mesh runs each pair as
         a whole single-device pipeline under shard_map; outputs must be
