@@ -46,11 +46,14 @@ def _round_up(x: int, m: int) -> int:
 def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
     """Per-pixel-per-view evaluation counts of one run_pair pipeline.
 
-    Mirrors models.patchmatch.patchmatch's launch structure: init, then
-    max_iter x {prop_sweeps x (prescreen + winner), view propagation,
-    refine_stages x (prescreen + winner)}.  Returns counts in units of
-    window-offset-candidate samples (OCU) and exp() calls per pixel per
-    view.
+    Mirrors models.patchmatch.patchmatch's launch structure, including
+    the schedule's launch-economy features: rank-phase iterations adopt
+    on quadrant rankings (no exact launches at all), cfg.merge_view
+    folds the view candidate into the last sweep's launch, and the
+    deferred-cost entry replaces the init/boundary K=1 exact launch with
+    one extra candidate in the first exact sweep.  Returns counts in
+    units of window-offset-candidate samples (OCU) and exp() calls per
+    pixel per view.
     """
     wnd = cfg.wnd_size
     full_offs = wnd * wnd
@@ -64,9 +67,12 @@ def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
     prescreen = cfg.prescreen_stride > 1 and (not cfg.use_cs or volume_rank)
     k_stencil = 4 + (4 if cfg.far_offsets else 0)
     r = len(cfg.refinement_schedule())
-    stages = max(1, min(cfg.refine_stages, r)) if cfg.batch_refine else r
-    per = -(-r // stages)
-    stage_ks = [min(per, r - s0) for s0 in range(0, r, per)]
+    if cfg.batch_refine:
+        stages = max(1, min(cfg.refine_stages, r))
+        per = -(-r // stages)
+        stage_ks = [min(per, r - s0) for s0 in range(0, r, per)]
+    else:
+        stage_ks = [1] * r
 
     scales = 1
     if cfg.use_cs:
@@ -74,40 +80,58 @@ def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
         # pre_cs_pc.cc:135): same offset count per level
         scales = cfg.scale_num
 
-    ocu = 0.0        # kernel (offset, candidate) samples
-    exps = 0.0       # kernel weight exp() evaluations (shared across K)
+    n_rank = cfg.rank_iters
+    n_exact = cfg.max_iter - n_rank
+    merge = cfg.merge_view and cfg.prop_sweeps > 0
+    defer = cfg.prop_sweeps > 0 and n_exact > 0
+
     rank_cands = 0.0  # candidates ranked on the quadrant volumes
     launches = []    # (K, offsets) per kernel launch
 
     def launch(k, offs):
         launches.append((k, offs))
 
-    def screen(k):
-        nonlocal rank_cands
-        if volume_rank:
-            rank_cands += k
-        else:
-            launch(k, sparse_offs)
-        launch(1, full_offs)                   # winner re-eval
+    # init: ranking eval (rank phase), deferred (exact entry), or K=1
+    if n_rank:
+        rank_cands += 1
+    elif not defer:
+        launch(1, full_offs)
 
-    launch(1, full_offs)                       # init
-    for _ in range(cfg.max_iter):
-        for _ in range(cfg.prop_sweeps):
+    # rank-phase iterations: every adoption (sweeps, view candidate,
+    # refinement stages) on the quadrant ranking -- zero exact launches
+    rank_cands += n_rank * (cfg.prop_sweeps * k_stencil + 1
+                            + sum(stage_ks))
+
+    # rank -> exact boundary: exact refresh unless deferred
+    if n_rank and n_exact and not defer:
+        launch(1, full_offs)
+
+    for it in range(n_exact):
+        for s in range(cfg.prop_sweeps):
+            k_extra = (1 if (defer and it == 0 and s == 0) else 0) \
+                + (1 if (merge and s == cfg.prop_sweeps - 1) else 0)
             if prescreen:
-                screen(k_stencil)
-            else:
-                launch(k_stencil, full_offs)
-        launch(1, full_offs)                   # view propagation
-        if cfg.batch_refine:
-            for k in stage_ks:
-                if prescreen and k > 1:
-                    screen(k)
+                if volume_rank:
+                    rank_cands += k_stencil
                 else:
-                    launch(k, full_offs)
-        else:
-            for _ in range(r):
+                    launch(k_stencil, sparse_offs)
+                launch(1 + k_extra, full_offs)     # winner (+ riders)
+            else:
+                launch(k_stencil + k_extra, full_offs)
+        if not merge:
+            launch(1, full_offs)                   # view propagation
+        for k in stage_ks:
+            if prescreen and k > 1:
+                if volume_rank:
+                    rank_cands += k
+                else:
+                    launch(k, sparse_offs)
                 launch(1, full_offs)
+            else:
+                launch(k, full_offs)
 
+    ocu = 0.0        # kernel (offset, candidate) samples
+    exps = 0.0       # kernel weight exp() evaluations (shared across K)
     for k, offs in launches:
         ocu += k * offs * scales
         exps += offs * scales
