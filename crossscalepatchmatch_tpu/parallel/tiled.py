@@ -649,7 +649,9 @@ def run_batch_sharded_steps(l_bgr: jax.Array, r_bgr: jax.Array,
     """
     if not cfg.precompute_volume:
         raise NotImplementedError(
-            "sharded path supports precomputed volumes only")
+            "the sharded checkpoint/resume path supports precomputed "
+            "volumes only (the on-the-fly path runs via run_batch_sharded "
+            "on a data-only mesh, without iteration slicing)")
     shape = dict(mesh.shape)
     n_ty = shape["ty"]
     n_tx = shape.get("tx", 1)
