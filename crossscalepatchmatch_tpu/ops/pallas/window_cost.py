@@ -157,12 +157,12 @@ def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
 
 
 def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
-            img_tile, vol_tile, sems, oth_slab=None,
-            *, hb: int, wnd: int, th: int, tw: int, dpad: int,
+            *scratch,
+            hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, k: int,
             scale: int = 0, ws: int = 0, slab: int = 0,
             wstride: int = 1, tree: bool = False,
-            fly: dict | None = None):
+            fly: dict | None = None, dy_grid: bool = False):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -203,6 +203,14 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     it falls back to the full contraction.  Early (random-init) evaluations
     mostly take the full path; converged plane fields mostly take the slab.
     """
+    img_tile, vol_tile, sems = scratch[0], scratch[1], scratch[2]
+    _si = 3
+    oth_slab = None
+    if fly is not None:
+        oth_slab = scratch[_si]
+        _si += 1
+    img_dy_t = scratch[_si] if dy_grid else None
+
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
     v = pl.program_id(0)
@@ -213,24 +221,43 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
 
     rows_t = img_tile.shape[1]       # roundup(th + 2mg, 8)
     wt = img_tile.shape[2]           # roundup(tw + 2mg, 128)
-    # DMA slab sizes are rounded up to the (8, 128) memref tiling; the
-    # extra rows/lanes are never read by the compute below.
-    cp_img = pltpu.make_async_copy(
-        img_hbm.at[v, :, pl.ds(r0, rows_t), pl.ds(c0, wt)],
-        img_tile, sems.at[0])
-    if fly is None:
-        cp_vol = pltpu.make_async_copy(
-            vol_hbm.at[v, pl.ds(r0, rows_t), :, pl.ds(c0, wt)],
-            vol_tile, sems.at[1])
+
+    def _setup():
+        # DMA slab sizes are rounded up to the (8, 128) memref tiling; the
+        # extra rows/lanes are never read by the compute below.
+        cp_img = pltpu.make_async_copy(
+            img_hbm.at[v, :, pl.ds(r0, rows_t), pl.ds(c0, wt)],
+            img_tile, sems.at[0])
+        if fly is None:
+            cp_vol = pltpu.make_async_copy(
+                vol_hbm.at[v, pl.ds(r0, rows_t), :, pl.ds(c0, wt)],
+                vol_tile, sems.at[1])
+        else:
+            # vol_hbm is the other view's channel array (lane-extended);
+            # the cost-volume tile is built in VMEM from it (_fly_build)
+            cp_vol = pltpu.make_async_copy(
+                vol_hbm.at[v, :, pl.ds(r0, rows_t),
+                           pl.ds(c0, oth_slab.shape[2])],
+                oth_slab, sems.at[1])
+        cp_img.start()
+        cp_vol.start()
+        cp_img.wait()
+        cp_vol.wait()
+        if fly is not None:
+            _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
+                       scale=scale, mg=mg, ws=ws, **fly)
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    if dy_grid:
+        # The tile DMAs, the fly volume build, and the output zeroing run
+        # on the tile's FIRST dy step only: VMEM scratch and the revisited
+        # output block persist across the (innermost, sequential) dy grid
+        # steps of one (v, ty, tx) tile.
+        @pl.when(pl.program_id(3) == 0)
+        def _():
+            _setup()
     else:
-        # vol_hbm is the other view's channel array (lane-extended); the
-        # cost-volume tile is built in VMEM from it (_fly_build)
-        cp_vol = pltpu.make_async_copy(
-            vol_hbm.at[v, :, pl.ds(r0, rows_t),
-                       pl.ds(c0, oth_slab.shape[2])],
-            oth_slab, sems.at[1])
-    cp_img.start()
-    cp_vol.start()
+        _setup()
 
     # Global (unpadded) FINE-grid coordinates of the tile's center pixels.
     ys = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + r0
@@ -239,14 +266,7 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     inv_gamma = jnp.float32(1.0 / gamma)
     inv_step = jnp.float32(1.0 / step)
 
-    cp_img.wait()
     ctr = [img_tile[p, mg:mg + th, mg:mg + tw] for p in range(3)]
-    cp_vol.wait()
-    if fly is not None:
-        _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
-                   scale=scale, mg=mg, ws=ws, **fly)
-
-    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     params = [[abc_ref[0, kk, c] for c in range(3)] for kk in range(k)]
     if scale > 0:
@@ -259,17 +279,20 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         ahb = [jnp.abs(params[kk][1]) * jnp.float32(hb) for kk in range(k)]
 
     # Mosaic cannot form vector loads at traced lane offsets, so the row
-    # offset dy is a static unroll (unaligned static slices are fine) and
-    # the column offset dx becomes a dynamic lane-rotate of the per-dy row
-    # slab (tpu dynamic_rotate) followed by a static slice.  wstride > 1
-    # evaluates a subsampled window (candidate prescreening); the strided
-    # grid starts at -hb, matching ops.plane_cost.stride_start (see there
-    # for why it is NOT anchored on the center offset).
+    # offset dy is either a static unroll (unaligned static slices are
+    # fine) or -- dy_grid mode -- the innermost grid dimension, where the
+    # volume rows come from a dynamic slice on the tile's UNTILED leading
+    # axis and the image rows from a small VMEM-to-VMEM DMA (dynamic
+    # sublane offsets are not otherwise expressible).  The column offset
+    # dx becomes a dynamic lane-rotate of the per-dy row slab (tpu
+    # dynamic_rotate) followed by a static slice.  wstride > 1 evaluates a
+    # subsampled window (candidate prescreening); the strided grid starts
+    # at -hb, matching ops.plane_cost.stride_start (see there for why it
+    # is NOT anchored on the center offset).
     o_start = -hb
     n_dx = len(range(o_start, hb + 1, wstride))
-    for dy in range(o_start, hb + 1, wstride):
-        sy = dy * step
-        img_dy = [img_tile[p, mg + sy:mg + sy + th, :] for p in range(3)]
+
+    def _dy_step(dy, sy, img_dy):
         fy = ys + sy
         # For scale > 0 the caller encodes ((fy + row0) >> s) < hs as the
         # local fine-row interval [ylo, yhi) = [-row0, (hs << s) - row0):
@@ -333,9 +356,9 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             jax.lax.fori_loop(0, n_dx, dx_body, 0)
 
         if not use_slab:
-            dx_loop(vol_tile[mg + sy:mg + sy + th, :, :], jnp.int32(0),
+            dx_loop(vol_tile[pl.ds(mg + sy, th), :, :], jnp.int32(0),
                     dpad)
-            continue
+            return
 
         # Per-pixel dq interval over this dy and all dx in [-hb, hb],
         # clipped to the volume's relevant range (tent mass exists only
@@ -367,13 +390,30 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
 
         @pl.when(fits)
         def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
-            dx_loop(vol_tile[mg + sy:mg + sy + th, pl.ds(lo_c, slab), :],
+            dx_loop(vol_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
                     lo_c, slab)
 
         @pl.when(jnp.logical_not(fits))
         def _(sy=sy, dx_loop=dx_loop):
-            dx_loop(vol_tile[mg + sy:mg + sy + th, :, :], jnp.int32(0),
+            dx_loop(vol_tile[pl.ds(mg + sy, th), :, :], jnp.int32(0),
                     dpad)
+
+    if dy_grid:
+        dy = pl.program_id(3) * wstride + o_start
+        sy = dy * step
+        # image rows at a traced sublane offset: copy them (DMA offsets
+        # are address-based and unconstrained) into the per-dy scratch
+        cp_dy = pltpu.make_async_copy(
+            img_tile.at[0:3, pl.ds(mg + sy, th), :], img_dy_t, sems.at[2])
+        cp_dy.start()
+        cp_dy.wait()
+        _dy_step(dy, sy, [img_dy_t[p] for p in range(3)])
+    else:
+        for dy in range(o_start, hb + 1, wstride):
+            sy = dy * step
+            _dy_step(dy, sy,
+                     [img_tile[p, mg + sy:mg + sy + th, :]
+                      for p in range(3)])
 
 
 class PreparedVolumes:
@@ -589,13 +629,20 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
             tw: int, slab: int = 32, wnd_stride: int = 1,
             ybounds: jax.Array | None = None,
-            tree: bool = False,
+            tree: bool = False, dy_grid: bool = True,
             fly_params: dict | None = None) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level.
 
     prep: PreparedVolumes (fly_params None) or PreparedFly (fly_params =
     dict(alpha, tau_clr, tau_grd, border_thres) -- the tile volume is
     then built in VMEM by _fly_build).
+
+    dy_grid=True (default) iterates the window row offset dy as the
+    innermost grid dimension instead of a static unroll: the compiled
+    kernel body holds ONE dy step, cutting the Mosaic compile time of an
+    instantiation roughly by the unroll factor (measured 103 s -> seconds
+    at wnd=35) at identical output values (same f32 operation order --
+    grid steps execute the same per-dy accumulations sequentially).
     """
     h, w, d = prep.h, prep.w, prep.d
     img_p = prep.img_p
@@ -624,20 +671,26 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
         scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride,
-        tree=tree, fly=fly_params)
+        tree=tree, fly=fly_params, dy_grid=dy_grid)
 
     n_ch = 3 if fly_params is None else 4
     scratch = [
         pltpu.VMEM((n_ch, rows_t, wt_pad), jnp.float32),
         pltpu.VMEM((rows_t, dpad, wt_pad), jnp.float32),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((3,)),
     ]
     if fly_params is not None:
         scratch.append(pltpu.VMEM((4, rows_t, prep.slab_w), jnp.float32))
 
+    grid = (nv, n_ty, n_tx)
+    if dy_grid:
+        n_dy = len(range(-hb, hb + 1, wnd_stride))
+        grid = grid + (n_dy,)
+        scratch.append(pltpu.VMEM((3, th, wt_pad), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nv, n_ty, n_tx),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -673,7 +726,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                tw: int = 128, slab: int = 32,
                                wnd_stride: int = 1,
                                ybounds: jax.Array | None = None,
-                               tree: bool = False) -> jax.Array:
+                               tree: bool = False,
+                               dy_grid: bool = True) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -690,7 +744,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
-                   wnd_stride=wnd_stride, ybounds=ybounds, tree=tree)
+                   wnd_stride=wnd_stride, ybounds=ybounds, tree=tree,
+                   dy_grid=dy_grid)
 
 
 def fly_sat_cost(alpha: float, tau_clr: float, tau_grd: float) -> float:
@@ -712,7 +767,8 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
                             border_thres: float = 3.0, th: int = 64,
                             tw: int = 128, slab: int = 32,
                             wnd_stride: int = 1,
-                            tree: bool = False) -> jax.Array:
+                            tree: bool = False,
+                            dy_grid: bool = True) -> jax.Array:
     """Fused on-the-fly GRD window plane cost (no HBM cost volume).
 
     Same window/ASW/lerp semantics as window_plane_cost_prepared over the
@@ -735,7 +791,7 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
     return _invoke(prep, maxc, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
                    slab=slab, wnd_stride=wnd_stride, tree=tree,
-                   fly_params=fp)
+                   dy_grid=dy_grid, fly_params=fp)
 
 
 def prepare_cross_scale_fly(vd_imgs, *, half_wnd: int, max_dis: int,
@@ -759,7 +815,8 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
                                   tau_grd: float = 2.0,
                                   border_thres: float = 3.0, th: int = 64,
                                   tw: int = 128, slab: int = 32,
-                                  tree: bool = False) -> jax.Array:
+                                  tree: bool = False,
+                                  dy_grid: bool = True) -> jax.Array:
     """Cross-scale on-the-fly aggregated plane cost (fused kernel per
     level, no HBM volumes) -- the TPU-native CSPC (cspc.cc:107-182
     capability; window/lerp semantics follow the Pre* window cost like
@@ -774,7 +831,8 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
     for s, prep in enumerate(preps):
         cost_s = _invoke(prep, maxc, params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw,
-                         slab=slab, tree=tree, fly_params=fp)
+                         slab=slab, tree=tree, dy_grid=dy_grid,
+                         fly_params=fp)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2
@@ -812,7 +870,8 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
                                     max_dis: int, gamma: float, th: int = 64,
                                     tw: int = 128, slab: int = 32,
                                     ybounds_s=None,
-                                    tree: bool = False) -> jax.Array:
+                                    tree: bool = False,
+                                    dy_grid: bool = True) -> jax.Array:
     """Cross-scale aggregated plane cost, fused kernel per level.
 
     sum_s wgt_s * cost_s with the plane re-anchored through the level-s
@@ -837,7 +896,7 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
         yb = None if ybounds_s is None else ybounds_s[s]
         cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab,
-                         ybounds=yb, tree=tree)
+                         ybounds=yb, tree=tree, dy_grid=dy_grid)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2
