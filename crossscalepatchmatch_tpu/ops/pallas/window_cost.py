@@ -209,7 +209,6 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     if fly is not None:
         oth_slab = scratch[_si]
         _si += 1
-    img_dy_t = scratch[_si] if dy_grid else None
 
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
@@ -401,13 +400,17 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     if dy_grid:
         dy = pl.program_id(3) * wstride + o_start
         sy = dy * step
-        # image rows at a traced sublane offset: copy them (DMA offsets
-        # are address-based and unconstrained) into the per-dy scratch
-        cp_dy = pltpu.make_async_copy(
-            img_tile.at[0:3, pl.ds(mg + sy, th), :], img_dy_t, sems.at[2])
-        cp_dy.start()
-        cp_dy.wait()
-        _dy_step(dy, sy, [img_dy_t[p] for p in range(3)])
+        # Image rows at a traced sublane offset: Mosaic rejects dynamic
+        # memref slices on a TILED dim unless the index is provably a
+        # multiple of the (8,128) tiling -- and mg + sy is an arbitrary
+        # integer -- for VMEM and HBM refs alike (both carry the tiled
+        # layout on this toolchain).  tpu.dynamic_rotate DOES support a
+        # traced shift on the sublane axis, so roll the rows down by
+        # mg + sy and take a static th-row slice (rows past th wrap
+        # around; never read).
+        rows = img_tile.shape[1]
+        img_r = pltpu.roll(img_tile[0:3], rows - (mg + sy), 1)
+        _dy_step(dy, sy, [img_r[p, 0:th, :] for p in range(3)])
     else:
         for dy in range(o_start, hb + 1, wstride):
             sy = dy * step
@@ -686,7 +689,6 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
     if dy_grid:
         n_dy = len(range(-hb, hb + 1, wnd_stride))
         grid = grid + (n_dy,)
-        scratch.append(pltpu.VMEM((3, th, wt_pad), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
