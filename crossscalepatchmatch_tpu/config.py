@@ -194,6 +194,31 @@ class CSPMConfig:
     # 1 op/element, while the tent's fma chain runs at the VPU ceiling.
     # Values agree to f32 rounding.  See ops.pallas.window_cost.
     pallas_gather: str = "tent"
+    # Kernel window-column (dx) loop mode: "auto" statically unrolls the
+    # loop for K=1 launches -- each dx offset becomes a static unaligned
+    # lane slice (one shift stage per vreg) instead of a fori-loop
+    # dynamic lane-rotate (log2(lanes) ~ 8 stages plus loop overhead) --
+    # and keeps the fori form for K >= 2, where the unrolled body's K
+    # tent blocks spill registers and measure SLOWER (v5e: K=1 141 vs
+    # 155 ms unroll-vs-fori, K=2 220 vs 198, K=3 290 vs 220).
+    # "always"/"never" force one mode (values identical either way;
+    # "never" also compiles a ~wnd-times smaller kernel body).
+    pallas_dx_unroll: str = "auto"
+    # Slope-sheared slab: per kernel tile, shear the volume's disparity
+    # axis by the tile's mean plane slope (built once per tile with
+    # log2 sublane shift+select passes) so the slab fast path only has to
+    # cover the RESIDUAL dq spread |a - abar|*window instead of the
+    # x-span |a|*tile_width.  Exact re-indexing (taps, masks, saturation
+    # keep the original dq); tent mode only.  Default OFF: measured on
+    # hardware (round 3) the bench pipeline ran 1564 vs 1431 ms/pair and
+    # even fully-converged fields showed no per-eval win -- real
+    # optimizer fields keep scattered outlier pixels whose planes blow
+    # the per-tile min/max fits union (shear or not), so the slab path
+    # almost never engages and the shear build + residual bound is pure
+    # overhead.  Kept selectable as measured documentation; a robust
+    # (outlier-tolerant) fits rule is the open problem -- exactness
+    # forbids simply clipping outlier pixels to the slab.
+    pallas_shear: bool = False
 
     def __post_init__(self):
         if self.wnd_size % 2 != 1:
@@ -215,6 +240,10 @@ class CSPMConfig:
                 f"pallas_slab must be a non-negative multiple of 8 (the "
                 f"kernel's dynamic sublane slice must stay 8-aligned), got "
                 f"{self.pallas_slab}")
+        if self.pallas_dx_unroll not in ("auto", "always", "never"):
+            raise ValueError(
+                f"pallas_dx_unroll must be 'auto', 'always' or 'never', "
+                f"got {self.pallas_dx_unroll!r}")
         if self.pallas_gather not in ("tree", "tent"):
             raise ValueError(
                 f"pallas_gather must be 'tree' or 'tent', got "

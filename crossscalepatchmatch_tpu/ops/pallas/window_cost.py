@@ -162,7 +162,8 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             max_dis: int, gamma: float, k: int,
             scale: int = 0, ws: int = 0, slab: int = 0,
             wstride: int = 1, tree: bool = False,
-            fly: dict | None = None, dy_grid: bool = False):
+            fly: dict | None = None, dy_grid: bool = False,
+            dx_unroll: bool | str = "auto", shear_b: int = 0):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -202,6 +203,25 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     slab instead of all dpad slices (~dpad/S times less VPU work); otherwise
     it falls back to the full contraction.  Early (random-init) evaluations
     mostly take the full path; converged plane fields mostly take the slab.
+
+    Slope-sheared slab (shear_b = B > 0, requires the slab path and tent
+    mode): on a slanted surface the hypothesis disparity varies ~a*128
+    across a tile's lane extent, so the per-tile dq interval rarely fits a
+    narrow slab even when the field is fully converged -- the x-span, not
+    convergence, drives the full-path fallback.  The kernel therefore
+    builds, once per tile, a SHEARED copy of the volume
+
+        shr[y, B + d - base(x), x] = vol[y, d, x],
+        base(x) = round(abar * (x - x_ctr)),  abar = per-tile mean slope,
+
+    via log2(2B) static sublane-shift+select passes (a per-lane sublane
+    gather is not otherwise expressible).  The slab bound then only has to
+    cover the RESIDUAL dq - base(q_x), whose per-tile spread is
+    ~|a - abar| * window instead of ~|a| * tile -- so converged slanted
+    tiles fit an 8-16 slice slab and the per-dx VMEM traffic (the measured
+    cost ceiling of a launch) drops by ~dpad/S.  Taps, masks, and
+    saturation still use the original dq; the tent just evaluates in the
+    sheared index space (exact re-indexing, not an approximation).
     """
     img_tile, vol_tile, sems = scratch[0], scratch[1], scratch[2]
     _si = 3
@@ -209,6 +229,11 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     if fly is not None:
         oth_slab = scratch[_si]
         _si += 1
+    shr_tile = abar_ref = None
+    if shear_b > 0:
+        shr_tile = scratch[_si]
+        abar_ref = scratch[_si + 1]
+        _si += 2
 
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
@@ -220,6 +245,52 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
 
     rows_t = img_tile.shape[1]       # roundup(th + 2mg, 8)
     wt = img_tile.shape[2]           # roundup(tw + 2mg, 128)
+    inv_step = jnp.float32(1.0 / step)
+
+    # abc_ref is a prefetched VMEM block -- valid from the first
+    # instruction (unlike img_tile/vol_tile, which wait on the DMAs), so
+    # the plane parameters can feed the setup-time shear build below.
+    params = [[abc_ref[0, kk, c] for c in range(3)] for kk in range(k)]
+    if scale > 0:
+        params = [[p0 * inv_step, pa, pb] for p0, pa, pb in params]
+
+    if shear_b > 0:
+        x_ctr = jnp.float32((wt - 1) * 0.5)
+        # keep |base| <= B - 1 everywhere so base(x + d) - base(x) always
+        # equals abar*d to within the +-1 rounding the bound charges
+        alim = jnp.float32((shear_b - 1.0) / ((wt - 1) * 0.5))
+
+    def _build_shear():
+        """Per-tile sheared volume (see the kernel docstring): mean slope
+        -> per-lane integer base -> log2(2B) sublane-shift+select passes
+        over the zero-extended volume, junk rows masked to 0 at the end."""
+        asum = params[0][1]
+        for kk in range(1, k):
+            asum = asum + params[kk][1]
+        abar = jnp.clip(jnp.sum(asum) * jnp.float32(1.0 / (k * th * tw)),
+                        -alim, alim)
+        abar_ref[0] = abar
+        dpx = shr_tile.shape[1]                      # dpad + 2B
+        lane = jax.lax.broadcasted_iota(           # tpu.iota is int-only
+            jnp.int32, (1, 1, wt), 2).astype(jnp.float32)
+        # shift-up amount u(x) = B - base(x) in [1, 2B - 1]
+        u = (jnp.float32(shear_b)
+             - jnp.rint(abar * (lane - x_ctr))).astype(jnp.int32)
+        shr = jnp.concatenate(
+            [vol_tile[...],
+             jnp.zeros((rows_t, dpx - dpad, wt), jnp.float32)], axis=1)
+        bit = 0
+        while (1 << bit) < 2 * shear_b:
+            sb = 1 << bit
+            m = ((u >> bit) & 1) == 1
+            shr = jnp.where(m, pltpu.roll(shr, sb, 1), shr)
+            bit += 1
+        # real data now sits at j = u + d for d in [0, dpad); rows the
+        # wraps deposited outside that window are junk -> zero them (the
+        # tent reads zeros beyond the volume, same as the dpad padding)
+        j_io = jax.lax.broadcasted_iota(jnp.int32, (1, dpx, 1), 1)
+        shr = jnp.where((j_io >= u) & (j_io < u + dpad), shr, 0.0)
+        shr_tile[...] = shr
 
     def _setup():
         # DMA slab sizes are rounded up to the (8, 128) memref tiling; the
@@ -245,6 +316,8 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         if fly is not None:
             _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
                        scale=scale, mg=mg, ws=ws, **fly)
+        if shear_b > 0:
+            _build_shear()
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     if dy_grid:
@@ -263,31 +336,45 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     xs = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + c0
     maxc = maxc_ref[v]
     inv_gamma = jnp.float32(1.0 / gamma)
-    inv_step = jnp.float32(1.0 / step)
 
     ctr = [img_tile[p, mg:mg + th, mg:mg + tw] for p in range(3)]
-
-    params = [[abc_ref[0, kk, c] for c in range(3)] for kk in range(k)]
-    if scale > 0:
-        params = [[p0 * inv_step, pa, pb] for p0, pa, pb in params]
 
     use_slab = 0 < slab < dpad
     if use_slab:
         # Per-candidate per-pixel |a|*hb (the symmetric dx span), feeding
         # the per-dy dq intervals below.
         ahb = [jnp.abs(params[kk][1]) * jnp.float32(hb) for kk in range(k)]
+    if shear_b > 0:
+        # Residual-dq machinery (see docstring): the per-lane base is
+        # cheap to recompute per dy step from the stored mean slope.
+        abar_v = abar_ref[0]
+        lane1 = jax.lax.broadcasted_iota(          # tpu.iota is int-only
+            jnp.int32, (1, wt), 1).astype(jnp.float32)
+        basef = jnp.rint(abar_v * (lane1 - x_ctr))       # (1, wt)
+        base_ctr = basef[:, mg:mg + tw]                  # (1, tw)
+        # residual dx-span: a window step moves step lanes, so the base
+        # advances abar*step per window unit vs the plane's pa; +1 covers
+        # the base rounding (rint(abar*x1) - rint(abar*x2) - abar*(x1-x2)
+        # lies in (-1, 1) because abar is clamped away from the region
+        # where base would saturate)
+        arb = [jnp.abs(params[kk][1] - abar_v * step) * jnp.float32(hb)
+               + 1.0 for kk in range(k)]
 
     # Mosaic cannot form vector loads at traced lane offsets, so the row
     # offset dy is either a static unroll (unaligned static slices are
     # fine) or -- dy_grid mode -- the innermost grid dimension, where the
     # volume rows come from a dynamic slice on the tile's UNTILED leading
-    # axis and the image rows from a small VMEM-to-VMEM DMA (dynamic
-    # sublane offsets are not otherwise expressible).  The column offset
-    # dx becomes a dynamic lane-rotate of the per-dy row slab (tpu
-    # dynamic_rotate) followed by a static slice.  wstride > 1 evaluates a
-    # subsampled window (candidate prescreening); the strided grid starts
-    # at -hb, matching ops.plane_cost.stride_start (see there for why it
-    # is NOT anchored on the center offset).
+    # axis and the image rows from a sublane dynamic_rotate.  The column
+    # offset dx is a STATIC unroll by default (dx_unroll=True): a static
+    # unaligned lane slice lowers to ONE shift stage per vreg, while the
+    # fori-loop alternative's dynamic lane-rotate lowers to log2(lanes)
+    # select-shift stages (~8x the data movement -- measured 107 ms of a
+    # 168 ms K=1 launch at dpad=64) plus ~0.25 us/iteration loop overhead.
+    # dx_unroll=False keeps the fori + dynamic-roll form (smaller compiled
+    # body; same values).  wstride > 1 evaluates a subsampled window
+    # (candidate prescreening); the strided grid starts at -hb, matching
+    # ops.plane_cost.stride_start (see there for why it is NOT anchored on
+    # the center offset).
     o_start = -hb
     n_dx = len(range(o_start, hb + 1, wstride))
 
@@ -298,7 +385,8 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         # for integer fy >= ylo the two are equivalent.
         y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
 
-        def dx_loop(vol_dy, d0, nd, img_dy=img_dy, y_ok=y_ok, dy=dy):
+        def dx_loop(vol_dy, d0, nd, base_q=None, img_dy=img_dy, y_ok=y_ok,
+                    dy=dy):
             """Accumulate all dx offsets with the two-tap lerp contracted
             over vol_dy's nd slices, whose first slice is disparity d0.
 
@@ -315,19 +403,17 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                 d_io = (d_io + d0.astype(jnp.float32) if nd != dpad
                         else d_io)
 
-            def dx_body(dxi, _):
-                dx = dxi * wstride + o_start
-                shift = wt - (dx + hb) * step
-                q = [pltpu.roll(img_dy[p], shift, 1)[:, :tw]
-                     for p in range(3)]
-                vol_q = pltpu.roll(vol_dy, shift, 2)[:, :, :tw]
+            def dx_body(dx, q, vol_q, bq):
+                """Accumulate one dx offset; q / vol_q / bq are the
+                dx-aligned image planes, volume slab, and (sheared path
+                only) per-lane base offsets."""
                 l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
                       + jnp.abs(ctr[2] - q[2]))
                 # window pixel must map to a real (level-s) image pixel
                 fx = xs + dx * step
                 q_ok = y_ok & (fx >= yb_ref[2]) & (fx < yb_ref[3])
                 wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
-                dxf = dx.astype(jnp.float32)
+                dxf = jnp.asarray(dx, jnp.float32)
 
                 for kk in range(k):
                     dq = (params[kk][0] + params[kk][1] * dxf
@@ -345,14 +431,38 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                         w1 = jnp.maximum(0.0, 1.0 - jnp.abs(dq - (f + 1.0)))
                         val = w0 * v0 + w1 * v1
                     else:
+                        # sheared slab: the tent evaluates in residual
+                        # index space (dq - base(q_x) vs j + d0); taps,
+                        # masks and saturation keep the original dq
+                        dq_t = dq - bq if bq is not None else dq
                         tent = jnp.maximum(
-                            0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
+                            0.0, 1.0 - jnp.abs(dq_t[:, None, :] - d_io))
                         val = jnp.sum(vol_q * tent, axis=1)
                     val = jnp.where(in_range, val, maxc)
                     out_ref[0, kk] += wgt * val
-                return 0
 
-            jax.lax.fori_loop(0, n_dx, dx_body, 0)
+            if dx_unroll:
+                for dxi in range(n_dx):
+                    dx = dxi * wstride + o_start
+                    off = (dx + hb) * step        # static lane offset
+                    dx_body(dx,
+                            [img_dy[p][:, off:off + tw] for p in range(3)],
+                            vol_dy[:, :, off:off + tw],
+                            None if base_q is None
+                            else base_q[:, off:off + tw])
+            else:
+                def fori_body(dxi, _):
+                    dx = dxi * wstride + o_start
+                    shift = wt - (dx + hb) * step
+                    dx_body(dx,
+                            [pltpu.roll(img_dy[p], shift, 1)[:, :tw]
+                             for p in range(3)],
+                            pltpu.roll(vol_dy, shift, 2)[:, :, :tw],
+                            None if base_q is None
+                            else pltpu.roll(base_q, shift, 1)[:, :tw])
+                    return 0
+
+                jax.lax.fori_loop(0, n_dx, fori_body, 0)
 
         if not use_slab:
             dx_loop(vol_tile[pl.ds(mg + sy, th), :, :], jnp.int32(0),
@@ -363,34 +473,63 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         # clipped to the volume's relevant range (tent mass exists only
         # for dq in (-1, dpad); a pixel entirely outside it takes the
         # saturation branch, so its wild plane must not widen the slab),
-        # then reduced over the tile and all K candidates.
+        # then reduced over the tile and all K candidates.  With shear the
+        # interval is taken over the RESIDUAL dq - base(c_x) instead
+        # (irrelevance still judged on the original dq).
         big = jnp.float32(1e9)
         dpad_f = jnp.float32(dpad)
+        if shear_b > 0:
+            r_lo = jnp.float32(-1.0 - shear_b)
+            r_hi = dpad_f + jnp.float32(shear_b)
         dqmn = dqmx = None
         for kk in range(k):
             dq_ctr = params[kk][0] + params[kk][2] * dy
             lo_px = dq_ctr - ahb[kk]
             hi_px = dq_ctr + ahb[kk]
             irr = (hi_px <= -1.0) | (lo_px >= dpad_f)
-            lo_k = jnp.min(jnp.where(irr, big, jnp.maximum(lo_px, -1.0)))
-            hi_k = jnp.max(jnp.where(irr, -big, jnp.minimum(hi_px, dpad_f)))
+            if shear_b > 0:
+                m = dq_ctr - base_ctr
+                lo_k = jnp.min(jnp.where(
+                    irr, big, jnp.maximum(m - arb[kk], r_lo)))
+                hi_k = jnp.max(jnp.where(
+                    irr, -big, jnp.minimum(m + arb[kk], r_hi)))
+            else:
+                lo_k = jnp.min(jnp.where(
+                    irr, big, jnp.maximum(lo_px, -1.0)))
+                hi_k = jnp.max(jnp.where(
+                    irr, -big, jnp.minimum(hi_px, dpad_f)))
             dqmn = lo_k if dqmn is None else jnp.minimum(dqmn, lo_k)
             dqmx = hi_k if dqmx is None else jnp.maximum(dqmx, hi_k)
         # tent mass lives at integer d in (dq-1, dq+1); the slab start is
         # aligned down to a sublane multiple (Mosaic requires the dynamic
         # sublane index to be provably a multiple of 8).  An all-irrelevant
         # tile reduces to (+big, -big) and trivially "fits".
-        lo2 = jnp.maximum(jnp.floor(dqmn).astype(jnp.int32), 0)
-        hi2 = jnp.minimum(jnp.ceil(dqmx).astype(jnp.int32), dpad - 1)
-        lo8 = (lo2 >> 3) << 3
-        fits = hi2 - lo8 < slab          # also true when hi2 < lo2
-        lo_c = pl.multiple_of(
-            jnp.clip(lo8, 0, dpad - slab), 8)
+        if shear_b > 0:
+            # sheared index space: j = residual + B in [0, dpad + 2B)
+            dpx = shr_tile.shape[1]
+            lo2 = jnp.maximum(
+                jnp.floor(dqmn).astype(jnp.int32) + shear_b, 0)
+            hi2 = jnp.minimum(
+                jnp.ceil(dqmx).astype(jnp.int32) + shear_b, dpx - 1)
+            lo8 = (lo2 >> 3) << 3
+            fits = hi2 - lo8 < slab      # also true when hi2 < lo2
+            lo_c = pl.multiple_of(jnp.clip(lo8, 0, dpx - slab), 8)
 
-        @pl.when(fits)
-        def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
-            dx_loop(vol_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
-                    lo_c, slab)
+            @pl.when(fits)
+            def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
+                dx_loop(shr_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
+                        lo_c - shear_b, slab, base_q=basef)
+        else:
+            lo2 = jnp.maximum(jnp.floor(dqmn).astype(jnp.int32), 0)
+            hi2 = jnp.minimum(jnp.ceil(dqmx).astype(jnp.int32), dpad - 1)
+            lo8 = (lo2 >> 3) << 3
+            fits = hi2 - lo8 < slab      # also true when hi2 < lo2
+            lo_c = pl.multiple_of(jnp.clip(lo8, 0, dpad - slab), 8)
+
+            @pl.when(fits)
+            def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
+                dx_loop(vol_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
+                        lo_c, slab)
 
         @pl.when(jnp.logical_not(fits))
         def _(sy=sy, dx_loop=dx_loop):
@@ -633,6 +772,7 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
             tw: int, slab: int = 32, wnd_stride: int = 1,
             ybounds: jax.Array | None = None,
             tree: bool = False, dy_grid: bool = True,
+            dx_unroll: bool | str = "auto", shear: bool = True,
             fly_params: dict | None = None) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level.
 
@@ -670,11 +810,32 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         ybounds = jnp.array([0, prep.hs << prep.scale,
                              0, prep.ws << prep.scale], jnp.int32)
 
+    # Slope-shear the slab path (see _kernel): only meaningful when the
+    # slab path exists, and the tree gather has no sheared form.  B caps
+    # the representable per-tile mean slope at (B-1)/(wt/2) disparities
+    # per lane; 48 covers slopes to ~0.37 at the default tile width, and
+    # small volumes need no more headroom than their own depth.
+    shear_b = (min(48, dpad) if shear and 0 < slab < dpad and not tree
+               else 0)
+
+    # dx mode policy: the static unroll wins only for single-candidate
+    # launches (measured on v5e: K=1 141 vs 155 ms, but K=2 220 vs 198
+    # and K=3 290 vs 220 -- the unrolled body's K tent blocks per dx
+    # step spill registers).  "auto" unrolls exactly at K=1; True/False
+    # force a mode (tests).
+    if dx_unroll == "auto":
+        dx_unroll = k == 1
+    elif dx_unroll == "always":
+        dx_unroll = True
+    elif dx_unroll == "never":
+        dx_unroll = False
+
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
         scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride,
-        tree=tree, fly=fly_params, dy_grid=dy_grid)
+        tree=tree, fly=fly_params, dy_grid=dy_grid, dx_unroll=dx_unroll,
+        shear_b=shear_b)
 
     n_ch = 3 if fly_params is None else 4
     scratch = [
@@ -684,6 +845,10 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
     ]
     if fly_params is not None:
         scratch.append(pltpu.VMEM((4, rows_t, prep.slab_w), jnp.float32))
+    if shear_b > 0:
+        scratch.append(pltpu.VMEM((rows_t, dpad + 2 * shear_b, wt_pad),
+                                  jnp.float32))
+        scratch.append(pltpu.SMEM((1,), jnp.float32))
 
     grid = (nv, n_ty, n_tx)
     if dy_grid:
@@ -729,7 +894,9 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                wnd_stride: int = 1,
                                ybounds: jax.Array | None = None,
                                tree: bool = False,
-                               dy_grid: bool = True) -> jax.Array:
+                               dy_grid: bool = True,
+                               dx_unroll: bool | str = "auto",
+                               shear: bool = True) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -747,7 +914,7 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
                    wnd_stride=wnd_stride, ybounds=ybounds, tree=tree,
-                   dy_grid=dy_grid)
+                   dy_grid=dy_grid, dx_unroll=dx_unroll, shear=shear)
 
 
 def fly_sat_cost(alpha: float, tau_clr: float, tau_grd: float) -> float:
@@ -770,7 +937,9 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
                             tw: int = 128, slab: int = 32,
                             wnd_stride: int = 1,
                             tree: bool = False,
-                            dy_grid: bool = True) -> jax.Array:
+                            dy_grid: bool = True,
+                            dx_unroll: bool | str = "auto",
+                            shear: bool = True) -> jax.Array:
     """Fused on-the-fly GRD window plane cost (no HBM cost volume).
 
     Same window/ASW/lerp semantics as window_plane_cost_prepared over the
@@ -793,7 +962,8 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
     return _invoke(prep, maxc, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
                    slab=slab, wnd_stride=wnd_stride, tree=tree,
-                   dy_grid=dy_grid, fly_params=fp)
+                   dy_grid=dy_grid, dx_unroll=dx_unroll, shear=shear,
+                   fly_params=fp)
 
 
 def prepare_cross_scale_fly(vd_imgs, *, half_wnd: int, max_dis: int,
@@ -818,7 +988,9 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
                                   border_thres: float = 3.0, th: int = 64,
                                   tw: int = 128, slab: int = 32,
                                   tree: bool = False,
-                                  dy_grid: bool = True) -> jax.Array:
+                                  dy_grid: bool = True,
+                                  dx_unroll: bool | str = "auto",
+                                  shear: bool = True) -> jax.Array:
     """Cross-scale on-the-fly aggregated plane cost (fused kernel per
     level, no HBM volumes) -- the TPU-native CSPC (cspc.cc:107-182
     capability; window/lerp semantics follow the Pre* window cost like
@@ -834,7 +1006,7 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
         cost_s = _invoke(prep, maxc, params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw,
                          slab=slab, tree=tree, dy_grid=dy_grid,
-                         fly_params=fp)
+                         dx_unroll=dx_unroll, shear=shear, fly_params=fp)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2
@@ -873,7 +1045,9 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
                                     tw: int = 128, slab: int = 32,
                                     ybounds_s=None,
                                     tree: bool = False,
-                                    dy_grid: bool = True) -> jax.Array:
+                                    dy_grid: bool = True,
+                                    dx_unroll: bool | str = "auto",
+                                    shear: bool = True) -> jax.Array:
     """Cross-scale aggregated plane cost, fused kernel per level.
 
     sum_s wgt_s * cost_s with the plane re-anchored through the level-s
@@ -898,7 +1072,8 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
         yb = None if ybounds_s is None else ybounds_s[s]
         cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab,
-                         ybounds=yb, tree=tree, dy_grid=dy_grid)
+                         ybounds=yb, tree=tree, dy_grid=dy_grid,
+                         dx_unroll=dx_unroll, shear=shear)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2

@@ -339,14 +339,18 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                     preps, mcs, wgts, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                     ybounds_s=ybounds_s, slab=cfg.pallas_slab,
-                    tree=cfg.pallas_gather == "tree")
+                    tree=cfg.pallas_gather == "tree",
+                    dx_unroll=cfg.pallas_dx_unroll,
+                    shear=cfg.pallas_shear)
         else:
             def cost_fn(abc2: jax.Array) -> jax.Array:
                 return window_plane_cost_prepared(
                     prep0, max_cost, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0,
                     slab=cfg.pallas_slab,
-                    tree=cfg.pallas_gather == "tree")
+                    tree=cfg.pallas_gather == "tree",
+                    dx_unroll=cfg.pallas_dx_unroll,
+                    shear=cfg.pallas_shear)
 
             if cfg.prescreen_stride > 1 and sparse_fn is None:
                 def sparse_fn(abc2: jax.Array) -> jax.Array:
@@ -354,6 +358,8 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                         prep0, max_cost, abc2, half_wnd=hw,
                         max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                         ybounds=yb0, slab=cfg.pallas_slab,
+                        dx_unroll=cfg.pallas_dx_unroll,
+                        shear=cfg.pallas_shear,
                         wnd_stride=cfg.prescreen_stride,
                         tree=cfg.pallas_gather == "tree")
     else:

@@ -65,6 +65,8 @@ def main():
                          "default)")
     ap.add_argument("--exact-iters", type=int, default=None,
                     help="trailing exact iterations for rank+exact")
+    ap.add_argument("--refine-stages", type=int, default=None,
+                    help="batched-refinement stages override")
     ap.add_argument("--only", default=None,
                     help="comma-separated config-name filter")
     ap.add_argument("--no-oracle-cache", action="store_true",
@@ -143,6 +145,8 @@ def main():
             adopt_mode=args.adopt)
         if args.exact_iters is not None:
             adopt_kw["exact_iters"] = args.exact_iters
+        if args.refine_stages is not None:
+            adopt_kw["refine_stages"] = args.refine_stages
         cfg = CSPMConfig(max_dis=max_dis, dis_scale=dis_scale,
                          cost_method=CostMethod[cc], use_cs=use_cs,
                          use_pp=use_pp, reg_lambda=reg_lambda,

@@ -42,6 +42,7 @@ assert len(jax.devices()) == 8, len(jax.devices())
 # initialize_multihost lays out data=n_hosts x ty=local: (2, 4, 1)
 assert dict(mesh.shape) == {{"data": 2, "ty": 4, "tx": 1}}, mesh.shape
 
+
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -66,7 +67,18 @@ l = make_global(l_np, P("data", "ty"))
 r = make_global(r_np, P("data", "ty"))
 seeds = make_global(seeds_np, P("data"))
 
-out = jit_run_batch_sharded(cfg, mesh)(l, r, seeds)
+# Compile ahead of time, then rendezvous on the COORDINATOR barrier
+# (configurable timeout, no collectives) before executing: the compile
+# can take minutes on this host's single core and a persistent-cache hit
+# on one side skews the processes far past Gloo's fixed 30 s
+# context-init deadline at the first collective (observed flake: "Gloo
+# context initialization failed: DEADLINE_EXCEEDED").  After the
+# barrier both processes reach the first collective within
+# milliseconds, so the Gloo rendezvous cannot time out.
+compiled = jit_run_batch_sharded(cfg, mesh).lower(l, r, seeds).compile()
+from jax._src import distributed
+distributed.global_state.client.wait_at_barrier("precompile", 600_000)
+out = compiled(l, r, seeds)
 jax.block_until_ready(out)
 shards = [([sl.indices(dim) for sl, dim in zip(s.index, out.shape)],
            np.asarray(s.data)) for s in out.addressable_shards]

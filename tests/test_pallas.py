@@ -78,6 +78,53 @@ def test_kernel_slab_path_matches_jnp_interpret():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dx_unroll", [True, False])
+def test_kernel_shear_slanted_matches_jnp_interpret(dx_unroll):
+    """Slope-sheared slab (round 3): a converged SLANTED field whose dq
+    spans ~a*width disparities across the tile -- too wide for the plain
+    per-tile slab bound, but its residual after the mean-slope shear fits
+    an 8-slice slab.  Checks the sheared read/tent re-indexing against the
+    jnp reference, with a wild candidate mixed in (full-path fallback) and
+    under both dx modes (static unroll / fori + dynamic rolls)."""
+    h, w, d, wnd = 24, 96, 32, 5
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    vols = jax.random.uniform(k2, (2, h, w, d + 1), jnp.float32)
+    mc = jnp.max(vols, axis=(1, 2, 3))
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    # slanted field: common slope 0.25 (dq spans ~24 disparities over the
+    # 96-px width) with small per-pixel jitter
+    a0 = 0.25 + jax.random.uniform(k3, (2, 1, h, w), jnp.float32,
+                                   -0.02, 0.02)
+    b0 = jax.random.uniform(k3, (2, 1, h, w), jnp.float32, -0.03, 0.03)
+    dc0 = (4.0 + 0.25 * xs
+           + jax.random.uniform(k3, (2, 1, h, w), jnp.float32, -0.5, 0.5))
+    # wild candidate: spans the whole volume (fallback in the same launch)
+    ab1 = jax.random.uniform(k4, (2, 1, h, w, 2), jnp.float32, -1, 1)
+    dc1 = jax.random.uniform(k4, (2, 1, h, w), jnp.float32, 0, d)
+    ab = jnp.concatenate(
+        [jnp.stack([a0, b0], axis=-1), ab1], axis=1)
+    dc = jnp.concatenate([dc0, dc1], axis=1)
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        prepare_volumes, window_plane_cost_prepared)
+
+    with pltpu.force_tpu_interpret_mode():
+        prep = prepare_volumes(imgs, vols, half_wnd=wnd // 2, th=8, tw=128)
+        got = window_plane_cost_prepared(
+            prep, mc, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
+            th=8, tw=128, slab=8, dx_unroll=dx_unroll, shear=True)
+    want = jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
+            imgs, vols, mc, abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_kernel_wnd_stride_matches_jnp_interpret():
     """Strided (prescreen) window evaluation: kernel vs jnp, stride 2."""
     h, w, d, wnd = 24, 40, 8, 7
