@@ -69,9 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exact_iters", type=int, default=2,
                    help="final exact iterations under adopt_mode="
                         "rank+exact")
-    p.add_argument("--merge_view", type=_bool, default=True,
+    p.add_argument("--merge_view", type=_bool, default=False,
                    help="fold the view-propagation candidate into the "
-                        "last spatial sweep's evaluation")
+                        "last spatial sweep's evaluation (one launch "
+                        "fewer per iteration; degrades parity on "
+                        "propagation-critical scenes, see config)")
     p.add_argument("--precompute_volume", type=_bool, default=True,
                    help="false = fused on-the-fly GRD kernel (no cost "
                         "volume in HBM)")

@@ -148,14 +148,19 @@ class CSPMConfig:
     exact_iters: int = 2
     # Fold the view-propagation candidate into the last spatial sweep's
     # candidate batch (one K=2 exact launch instead of two K=1 launches
-    # per iteration).  The kernel's per-launch cost is ~125 ms fixed +
-    # ~35 ms/candidate at bench scale, so merging removes one fixed cost
-    # per iteration.  Trajectory note: the merged view candidate is
-    # gathered from the state BEFORE the last sweep's spatial adoption
-    # (the reference gathers after, cs_patchmatch.cc:61-99); both views
-    # still exchange planes once per iteration, and the parity matrix is
-    # the guard (BASELINE.md).
-    merge_view: bool = True
+    # per iteration; saves ~10% pair time at bench scale).  The merged
+    # view candidate is gathered from the state BEFORE the last sweep's
+    # spatial adoption (the reference gathers after,
+    # cs_patchmatch.cc:61-99).  Default OFF: round 2 enabled this during
+    # the device outage on CPU bit-equivalence arguments alone, and the
+    # round-3 hardware parity matrix caught it degrading quality past
+    # the 0.005 bound on three rows (readme_demo +0.0067, occlusions
+    # +0.0057, lowtex +0.0051 at 5 seeds); with the standalone
+    # view-propagation launch restored every row is <= +0.0021
+    # (BASELINE.md round-3 table).  The pre-adoption gather weakens the
+    # view exchange exactly where propagation matters most (plain GRD,
+    # occlusion- and texture-stressed scenes).
+    merge_view: bool = False
 
     # --- cost model constants ---------------------------------------------
     cost_alpha: float = 0.1     # color/gradient mixing weight

@@ -67,6 +67,10 @@ def main():
                     help="trailing exact iterations for rank+exact")
     ap.add_argument("--refine-stages", type=int, default=None,
                     help="batched-refinement stages override")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="generic CSPMConfig field override (repeatable); "
+                         "values parsed as int/float/bool when possible")
     ap.add_argument("--only", default=None,
                     help="comma-separated config-name filter")
     ap.add_argument("--no-oracle-cache", action="store_true",
@@ -147,6 +151,19 @@ def main():
             adopt_kw["exact_iters"] = args.exact_iters
         if args.refine_stages is not None:
             adopt_kw["refine_stages"] = args.refine_stages
+        for kv in args.set:
+            key, _, val = kv.partition("=")
+            if val in ("True", "true", "False", "false"):
+                val = val in ("True", "true")
+            else:
+                try:
+                    val = int(val)
+                except ValueError:
+                    try:
+                        val = float(val)
+                    except ValueError:
+                        pass
+            adopt_kw[key] = val
         cfg = CSPMConfig(max_dis=max_dis, dis_scale=dis_scale,
                          cost_method=CostMethod[cc], use_cs=use_cs,
                          use_pp=use_pp, reg_lambda=reg_lambda,

@@ -45,18 +45,20 @@ def test_exact_mode_counts_more_full_launches():
 
 def test_default_schedule_launch_economy():
     """Pin the launch structure of the production default (cones config):
-    rank phase has zero exact launches; merge_view and the deferred-cost
-    entry leave 4 full-window launches per exact iteration (two sweep
-    winners with their riders, two refinement-stage winners)."""
+    rank phase has zero exact launches; the deferred-cost entry leaves 5
+    full-window launches per exact iteration (two sweep winners, the
+    standalone view propagation, two refinement-stage winners) --
+    merge_view is OFF by default since round 3 (it broke the hardware
+    parity bound, see config.merge_view)."""
     c = count_plane_cost_work(_cfg())       # max_iter=3, exact_iters=2
-    assert c["launches"] == 2 * 4            # 2 exact iterations
-    # OCU: exact iter 1 evaluates K=2 (winner+deferred current),
-    # K=2 (winner+view), 1, 1; iter 2: 1, 2, 1, 1 -> 11 x wnd^2
+    assert c["launches"] == 2 * 5            # 2 exact iterations
+    # OCU: exact iter 1 evaluates K=2 (winner+deferred current), K=1
+    # (winner), 1 (view), 1, 1; iter 2: 1, 1, 1, 1, 1 -> 11 x wnd^2
     assert c["ocu"] == 11 * 35 * 35
-    # standalone view-propagation launches reappear without merge_view
-    c2 = count_plane_cost_work(_cfg(merge_view=False))
-    assert c2["launches"] == 2 * 5
-    assert c2["ocu"] == c["ocu"]             # same samples, more launches
+    # merge_view folds the view candidate into the last sweep's launch
+    c2 = count_plane_cost_work(_cfg(merge_view=True))
+    assert c2["launches"] == 2 * 4
+    assert c2["ocu"] == c["ocu"]             # same samples, fewer launches
 
 
 def test_probe_timeout_returns_false_fast():
