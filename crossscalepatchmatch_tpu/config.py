@@ -191,14 +191,11 @@ class CSPMConfig:
     # Disparity-slab width for the kernel's fast path (multiple of 8;
     # 0 disables).  See ops.pallas.window_cost._kernel.
     pallas_slab: int = 32
-    # Disparity-lerp evaluation inside the kernel: "tent" is the dense
-    # sum_d vol*max(0, 1-|dq-d|) contraction; "tree" gathers the two taps
-    # with a log-depth select tree.  Counter-intuitively, "tent" measures
-    # 3x FASTER on TPU v5e (406 ms vs 1260 ms per K=8 cones-size eval):
-    # Mosaic lowers the tree's sublane-masked selects to far more than
-    # 1 op/element, while the tent's fma chain runs at the VPU ceiling.
-    # Values agree to f32 rounding.  See ops.pallas.window_cost.
-    pallas_gather: str = "tent"
+    # (Two removed alternatives for the kernel's disparity lerp -- a
+    # log-depth select-tree gather of the exact two taps and a
+    # slope-sheared slab -- were built, measured SLOWER on v5e hardware,
+    # and deleted in round 4; BASELINE.md keeps the numbers, git history
+    # rounds 1-3 the code.)
     # Kernel window-column (dx) loop mode: "auto" statically unrolls the
     # loop for K=1 launches -- each dx offset becomes a static unaligned
     # lane slice (one shift stage per vreg) instead of a fori-loop
@@ -209,21 +206,6 @@ class CSPMConfig:
     # "always"/"never" force one mode (values identical either way;
     # "never" also compiles a ~wnd-times smaller kernel body).
     pallas_dx_unroll: str = "auto"
-    # Slope-sheared slab: per kernel tile, shear the volume's disparity
-    # axis by the tile's mean plane slope (built once per tile with
-    # log2 sublane shift+select passes) so the slab fast path only has to
-    # cover the RESIDUAL dq spread |a - abar|*window instead of the
-    # x-span |a|*tile_width.  Exact re-indexing (taps, masks, saturation
-    # keep the original dq); tent mode only.  Default OFF: measured on
-    # hardware (round 3) the bench pipeline ran 1564 vs 1431 ms/pair and
-    # even fully-converged fields showed no per-eval win -- real
-    # optimizer fields keep scattered outlier pixels whose planes blow
-    # the per-tile min/max fits union (shear or not), so the slab path
-    # almost never engages and the shear build + residual bound is pure
-    # overhead.  Kept selectable as measured documentation; a robust
-    # (outlier-tolerant) fits rule is the open problem -- exactness
-    # forbids simply clipping outlier pixels to the slab.
-    pallas_shear: bool = False
 
     def __post_init__(self):
         if self.wnd_size % 2 != 1:
@@ -249,10 +231,6 @@ class CSPMConfig:
             raise ValueError(
                 f"pallas_dx_unroll must be 'auto', 'always' or 'never', "
                 f"got {self.pallas_dx_unroll!r}")
-        if self.pallas_gather not in ("tree", "tent"):
-            raise ValueError(
-                f"pallas_gather must be 'tree' or 'tent', got "
-                f"{self.pallas_gather!r}")
         if self.prescreen_mode not in ("window", "volume"):
             raise ValueError(
                 f"prescreen_mode must be 'window' or 'volume', got "

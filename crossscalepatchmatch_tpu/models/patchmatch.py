@@ -130,9 +130,7 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
               gamma=cfg.wgt_gamma, alpha=cfg.cost_alpha,
               tau_clr=cfg.tau_clr, tau_grd=cfg.tau_grd,
               border_thres=cfg.border_thres, slab=cfg.pallas_slab,
-              tree=cfg.pallas_gather == "tree",
-              dx_unroll=cfg.pallas_dx_unroll,
-                shear=cfg.pallas_shear)
+              dx_unroll=cfg.pallas_dx_unroll)
     if cfg.use_cs:
         levels = cfg.scale_num
         l_pyr = build_pyramid(l_bgr_u8, levels)
@@ -218,9 +216,7 @@ def make_cost_fns(cfg: CSPMConfig,
                 prep, max_costs, abc2, half_wnd=cfg.half_wnd,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                 slab=cfg.pallas_slab, wnd_stride=stride,
-                tree=cfg.pallas_gather == "tree",
-                dx_unroll=cfg.pallas_dx_unroll,
-                shear=cfg.pallas_shear)
+                dx_unroll=cfg.pallas_dx_unroll)
 
         cost_fn = functools.partial(kernel_fn, stride=1)
         if volume_mode:
@@ -243,9 +239,8 @@ def make_cost_fns(cfg: CSPMConfig,
             return cross_scale_plane_cost_prepared(
                 preps, max_costs_s, wgts, abc2, half_wnd=cfg.half_wnd,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                slab=cfg.pallas_slab, tree=cfg.pallas_gather == "tree",
-                dx_unroll=cfg.pallas_dx_unroll,
-                shear=cfg.pallas_shear)
+                slab=cfg.pallas_slab,
+                dx_unroll=cfg.pallas_dx_unroll)
 
         return cost_fn, (_volume_sparse_fn(cfg, vd) if volume_mode
                          else None)

@@ -45,56 +45,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _tree_gather(vol_q: jax.Array, f: jax.Array) -> jax.Array:
-    """out[y, x] = vol_q[y, f[y, x], x] via a log-depth select tree.
-
-    Mosaic has no per-pixel dynamic gather along the sublane axis, but the
-    gather can be built from log2(nd) levels of aligned-half selects: walk
-    the bits of f from the MSB down, at each level keeping the half of the
-    current (recursively aligned) block that bit selects.
-
-    MEASURED SLOWER than the dense tent contraction on TPU v5e despite
-    ~4x fewer nominal ops (per K=8 cones-size eval: tent 406 ms; tree with
-    selects all the way down 1260 ms -- sub-8 sublane slices cost Mosaic
-    relayouts per level; this aligned-to-8 variant 509-511 ms): Mosaic
-    lowers sublane-broadcast masked selects to multiple instructions per
-    element, while the tent's fma chain runs at the VPU ceiling.  Kept
-    selectable (config.pallas_gather="tree") as measurement documentation
-    and in case future Mosaic versions lower selects better; the
-    production default is "tent".
-
-    vol_q: f32[th, nd, tw] (nd a multiple of 8, NOT necessarily a power of
-    two -- non-pow2 nd is decomposed into descending pow2 chunks combined
-    with range selects).  f: i32[th, tw], clamped to [0, nd - 1] by the
-    caller; any value selects *some* slice (garbage is fine for lanes the
-    caller masks afterwards).
-    """
-    th, nd, tw = vol_q.shape
-    out = None
-    start = 0
-    rem = nd
-    while rem > 0:
-        p = 1 << (rem.bit_length() - 1)           # largest pow2 <= rem
-        cur = vol_q[:, start:start + p, :]
-        fr = jnp.clip(f - start, 0, p - 1)
-        half = p >> 1
-        # halving selects stay 8-sublane-aligned (sub-8 slices would cost
-        # Mosaic sublane relayouts per level); the last 3 bits resolve via
-        # a one-hot masked sum over the remaining aligned 8-block
-        while half >= 8:
-            m = ((fr & half) != 0)[:, None, :]
-            cur = jnp.where(m, cur[:, half:, :], cur[:, :half, :])
-            half >>= 1
-        nb = cur.shape[1]
-        d_io = jax.lax.broadcasted_iota(jnp.int32, (th, nb, tw), 1)
-        oh = d_io == (fr & (nb - 1))[:, None, :]
-        val = jnp.sum(jnp.where(oh, cur, 0.0), axis=1)
-        out = val if out is None else jnp.where(f >= start, val, out)
-        start += p
-        rem -= p
-    return out
-
-
 def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
                scale: int, mg: int, ws: int, alpha: float, tau_clr: float,
                tau_grd: float, border_thres: float):
@@ -161,9 +111,9 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, k: int,
             scale: int = 0, ws: int = 0, slab: int = 0,
-            wstride: int = 1, tree: bool = False,
+            wstride: int = 1,
             fly: dict | None = None, dy_grid: bool = False,
-            dx_unroll: bool | str = "auto", shear_b: int = 0):
+            dx_unroll: bool = True):
     """One (view, tile_y, tile_x) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -204,36 +154,13 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     it falls back to the full contraction.  Early (random-init) evaluations
     mostly take the full path; converged plane fields mostly take the slab.
 
-    Slope-sheared slab (shear_b = B > 0, requires the slab path and tent
-    mode): on a slanted surface the hypothesis disparity varies ~a*128
-    across a tile's lane extent, so the per-tile dq interval rarely fits a
-    narrow slab even when the field is fully converged -- the x-span, not
-    convergence, drives the full-path fallback.  The kernel therefore
-    builds, once per tile, a SHEARED copy of the volume
-
-        shr[y, B + d - base(x), x] = vol[y, d, x],
-        base(x) = round(abar * (x - x_ctr)),  abar = per-tile mean slope,
-
-    via log2(2B) static sublane-shift+select passes (a per-lane sublane
-    gather is not otherwise expressible).  The slab bound then only has to
-    cover the RESIDUAL dq - base(q_x), whose per-tile spread is
-    ~|a - abar| * window instead of ~|a| * tile -- so converged slanted
-    tiles fit an 8-16 slice slab and the per-dx VMEM traffic (the measured
-    cost ceiling of a launch) drops by ~dpad/S.  Taps, masks, and
-    saturation still use the original dq; the tent just evaluates in the
-    sheared index space (exact re-indexing, not an approximation).
+    (Two alternative evaluation modes were built, measured slower on v5e
+    hardware, and removed in round 4 -- a log-depth select-tree gather of
+    the exact two taps, and a slope-sheared slab; the measurements live in
+    BASELINE.md and the implementations in git history, rounds 1-3.)
     """
     img_tile, vol_tile, sems = scratch[0], scratch[1], scratch[2]
-    _si = 3
-    oth_slab = None
-    if fly is not None:
-        oth_slab = scratch[_si]
-        _si += 1
-    shr_tile = abar_ref = None
-    if shear_b > 0:
-        shr_tile = scratch[_si]
-        abar_ref = scratch[_si + 1]
-        _si += 2
+    oth_slab = scratch[3] if fly is not None else None
 
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
@@ -248,49 +175,10 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     inv_step = jnp.float32(1.0 / step)
 
     # abc_ref is a prefetched VMEM block -- valid from the first
-    # instruction (unlike img_tile/vol_tile, which wait on the DMAs), so
-    # the plane parameters can feed the setup-time shear build below.
+    # instruction (unlike img_tile/vol_tile, which wait on the DMAs).
     params = [[abc_ref[0, kk, c] for c in range(3)] for kk in range(k)]
     if scale > 0:
         params = [[p0 * inv_step, pa, pb] for p0, pa, pb in params]
-
-    if shear_b > 0:
-        x_ctr = jnp.float32((wt - 1) * 0.5)
-        # keep |base| <= B - 1 everywhere so base(x + d) - base(x) always
-        # equals abar*d to within the +-1 rounding the bound charges
-        alim = jnp.float32((shear_b - 1.0) / ((wt - 1) * 0.5))
-
-    def _build_shear():
-        """Per-tile sheared volume (see the kernel docstring): mean slope
-        -> per-lane integer base -> log2(2B) sublane-shift+select passes
-        over the zero-extended volume, junk rows masked to 0 at the end."""
-        asum = params[0][1]
-        for kk in range(1, k):
-            asum = asum + params[kk][1]
-        abar = jnp.clip(jnp.sum(asum) * jnp.float32(1.0 / (k * th * tw)),
-                        -alim, alim)
-        abar_ref[0] = abar
-        dpx = shr_tile.shape[1]                      # dpad + 2B
-        lane = jax.lax.broadcasted_iota(           # tpu.iota is int-only
-            jnp.int32, (1, 1, wt), 2).astype(jnp.float32)
-        # shift-up amount u(x) = B - base(x) in [1, 2B - 1]
-        u = (jnp.float32(shear_b)
-             - jnp.rint(abar * (lane - x_ctr))).astype(jnp.int32)
-        shr = jnp.concatenate(
-            [vol_tile[...],
-             jnp.zeros((rows_t, dpx - dpad, wt), jnp.float32)], axis=1)
-        bit = 0
-        while (1 << bit) < 2 * shear_b:
-            sb = 1 << bit
-            m = ((u >> bit) & 1) == 1
-            shr = jnp.where(m, pltpu.roll(shr, sb, 1), shr)
-            bit += 1
-        # real data now sits at j = u + d for d in [0, dpad); rows the
-        # wraps deposited outside that window are junk -> zero them (the
-        # tent reads zeros beyond the volume, same as the dpad padding)
-        j_io = jax.lax.broadcasted_iota(jnp.int32, (1, dpx, 1), 1)
-        shr = jnp.where((j_io >= u) & (j_io < u + dpad), shr, 0.0)
-        shr_tile[...] = shr
 
     def _setup():
         # DMA slab sizes are rounded up to the (8, 128) memref tiling; the
@@ -316,8 +204,6 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         if fly is not None:
             _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
                        scale=scale, mg=mg, ws=ws, **fly)
-        if shear_b > 0:
-            _build_shear()
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     if dy_grid:
@@ -344,21 +230,6 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         # Per-candidate per-pixel |a|*hb (the symmetric dx span), feeding
         # the per-dy dq intervals below.
         ahb = [jnp.abs(params[kk][1]) * jnp.float32(hb) for kk in range(k)]
-    if shear_b > 0:
-        # Residual-dq machinery (see docstring): the per-lane base is
-        # cheap to recompute per dy step from the stored mean slope.
-        abar_v = abar_ref[0]
-        lane1 = jax.lax.broadcasted_iota(          # tpu.iota is int-only
-            jnp.int32, (1, wt), 1).astype(jnp.float32)
-        basef = jnp.rint(abar_v * (lane1 - x_ctr))       # (1, wt)
-        base_ctr = basef[:, mg:mg + tw]                  # (1, tw)
-        # residual dx-span: a window step moves step lanes, so the base
-        # advances abar*step per window unit vs the plane's pa; +1 covers
-        # the base rounding (rint(abar*x1) - rint(abar*x2) - abar*(x1-x2)
-        # lies in (-1, 1) because abar is clamped away from the region
-        # where base would saturate)
-        arb = [jnp.abs(params[kk][1] - abar_v * step) * jnp.float32(hb)
-               + 1.0 for kk in range(k)]
 
     # Mosaic cannot form vector loads at traced lane offsets, so the row
     # offset dy is either a static unroll (unaligned static slices are
@@ -385,28 +256,21 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         # for integer fy >= ylo the two are equivalent.
         y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
 
-        def dx_loop(vol_dy, d0, nd, base_q=None, img_dy=img_dy, y_ok=y_ok,
-                    dy=dy):
-            """Accumulate all dx offsets with the two-tap lerp contracted
-            over vol_dy's nd slices, whose first slice is disparity d0.
-
-            tree=True (default): per candidate, gather the floor/ceil
-            slices with _tree_gather and lerp -- the semantically exact
-            2-tap form.  tree=False: dense tent contraction
-            sum_d vol*max(0, 1-|dq-d|) over all nd slices (the original
-            formulation, kept for A/B measurement; same values up to f32
-            summation-order rounding).
+        def dx_loop(vol_dy, d0, nd, img_dy=img_dy, y_ok=y_ok, dy=dy):
+            """Accumulate all dx offsets with the dense tent contraction
+            sum_d vol*max(0, 1-|dq-d|) over vol_dy's nd slices, whose
+            first slice is disparity d0 -- equal to the two-tap lerp at
+            fractional disparity dq (pre_ss_pc.cc:99-111) because the
+            tent has mass only at floor(dq)/ceil(dq).
             """
-            if not tree:
-                d_io = jax.lax.broadcasted_iota(
-                    jnp.int32, (th, nd, tw), 1).astype(jnp.float32)
-                d_io = (d_io + d0.astype(jnp.float32) if nd != dpad
-                        else d_io)
+            d_io = jax.lax.broadcasted_iota(
+                jnp.int32, (th, nd, tw), 1).astype(jnp.float32)
+            d_io = (d_io + d0.astype(jnp.float32) if nd != dpad
+                    else d_io)
 
-            def dx_body(dx, q, vol_q, bq):
-                """Accumulate one dx offset; q / vol_q / bq are the
-                dx-aligned image planes, volume slab, and (sheared path
-                only) per-lane base offsets."""
+            def dx_body(dx, q, vol_q):
+                """Accumulate one dx offset; q / vol_q are the dx-aligned
+                image planes and volume slab."""
                 l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
                       + jnp.abs(ctr[2] - q[2]))
                 # window pixel must map to a real (level-s) image pixel
@@ -420,24 +284,9 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                           + params[kk][2] * dy)
                     f = jnp.trunc(dq)
                     in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
-                    if tree:
-                        fr = f.astype(jnp.int32) - d0
-                        v0 = _tree_gather(vol_q, jnp.clip(fr, 0, nd - 1))
-                        v1 = _tree_gather(vol_q,
-                                          jnp.clip(fr + 1, 0, nd - 1))
-                        # identical arithmetic to the tent's two nonzero
-                        # taps (pre_ss_pc.cc:99-111 lerp)
-                        w0 = jnp.maximum(0.0, 1.0 - jnp.abs(dq - f))
-                        w1 = jnp.maximum(0.0, 1.0 - jnp.abs(dq - (f + 1.0)))
-                        val = w0 * v0 + w1 * v1
-                    else:
-                        # sheared slab: the tent evaluates in residual
-                        # index space (dq - base(q_x) vs j + d0); taps,
-                        # masks and saturation keep the original dq
-                        dq_t = dq - bq if bq is not None else dq
-                        tent = jnp.maximum(
-                            0.0, 1.0 - jnp.abs(dq_t[:, None, :] - d_io))
-                        val = jnp.sum(vol_q * tent, axis=1)
+                    tent = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
+                    val = jnp.sum(vol_q * tent, axis=1)
                     val = jnp.where(in_range, val, maxc)
                     out_ref[0, kk] += wgt * val
 
@@ -447,9 +296,7 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                     off = (dx + hb) * step        # static lane offset
                     dx_body(dx,
                             [img_dy[p][:, off:off + tw] for p in range(3)],
-                            vol_dy[:, :, off:off + tw],
-                            None if base_q is None
-                            else base_q[:, off:off + tw])
+                            vol_dy[:, :, off:off + tw])
             else:
                 def fori_body(dxi, _):
                     dx = dxi * wstride + o_start
@@ -457,9 +304,7 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                     dx_body(dx,
                             [pltpu.roll(img_dy[p], shift, 1)[:, :tw]
                              for p in range(3)],
-                            pltpu.roll(vol_dy, shift, 2)[:, :, :tw],
-                            None if base_q is None
-                            else pltpu.roll(base_q, shift, 1)[:, :tw])
+                            pltpu.roll(vol_dy, shift, 2)[:, :, :tw])
                     return 0
 
                 jax.lax.fori_loop(0, n_dx, fori_body, 0)
@@ -473,63 +318,35 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         # clipped to the volume's relevant range (tent mass exists only
         # for dq in (-1, dpad); a pixel entirely outside it takes the
         # saturation branch, so its wild plane must not widen the slab),
-        # then reduced over the tile and all K candidates.  With shear the
-        # interval is taken over the RESIDUAL dq - base(c_x) instead
-        # (irrelevance still judged on the original dq).
+        # then reduced over the tile and all K candidates.
         big = jnp.float32(1e9)
         dpad_f = jnp.float32(dpad)
-        if shear_b > 0:
-            r_lo = jnp.float32(-1.0 - shear_b)
-            r_hi = dpad_f + jnp.float32(shear_b)
         dqmn = dqmx = None
         for kk in range(k):
             dq_ctr = params[kk][0] + params[kk][2] * dy
             lo_px = dq_ctr - ahb[kk]
             hi_px = dq_ctr + ahb[kk]
             irr = (hi_px <= -1.0) | (lo_px >= dpad_f)
-            if shear_b > 0:
-                m = dq_ctr - base_ctr
-                lo_k = jnp.min(jnp.where(
-                    irr, big, jnp.maximum(m - arb[kk], r_lo)))
-                hi_k = jnp.max(jnp.where(
-                    irr, -big, jnp.minimum(m + arb[kk], r_hi)))
-            else:
-                lo_k = jnp.min(jnp.where(
-                    irr, big, jnp.maximum(lo_px, -1.0)))
-                hi_k = jnp.max(jnp.where(
-                    irr, -big, jnp.minimum(hi_px, dpad_f)))
+            lo_k = jnp.min(jnp.where(
+                irr, big, jnp.maximum(lo_px, -1.0)))
+            hi_k = jnp.max(jnp.where(
+                irr, -big, jnp.minimum(hi_px, dpad_f)))
             dqmn = lo_k if dqmn is None else jnp.minimum(dqmn, lo_k)
             dqmx = hi_k if dqmx is None else jnp.maximum(dqmx, hi_k)
         # tent mass lives at integer d in (dq-1, dq+1); the slab start is
         # aligned down to a sublane multiple (Mosaic requires the dynamic
         # sublane index to be provably a multiple of 8).  An all-irrelevant
         # tile reduces to (+big, -big) and trivially "fits".
-        if shear_b > 0:
-            # sheared index space: j = residual + B in [0, dpad + 2B)
-            dpx = shr_tile.shape[1]
-            lo2 = jnp.maximum(
-                jnp.floor(dqmn).astype(jnp.int32) + shear_b, 0)
-            hi2 = jnp.minimum(
-                jnp.ceil(dqmx).astype(jnp.int32) + shear_b, dpx - 1)
-            lo8 = (lo2 >> 3) << 3
-            fits = hi2 - lo8 < slab      # also true when hi2 < lo2
-            lo_c = pl.multiple_of(jnp.clip(lo8, 0, dpx - slab), 8)
+        lo2 = jnp.maximum(jnp.floor(dqmn).astype(jnp.int32), 0)
+        hi2 = jnp.minimum(jnp.ceil(dqmx).astype(jnp.int32), dpad - 1)
+        lo8 = (lo2 >> 3) << 3
+        fits = hi2 - lo8 < slab      # also true when hi2 < lo2
+        lo_c = pl.multiple_of(jnp.clip(lo8, 0, dpad - slab), 8)
 
-            @pl.when(fits)
-            def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
-                dx_loop(shr_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
-                        lo_c - shear_b, slab, base_q=basef)
-        else:
-            lo2 = jnp.maximum(jnp.floor(dqmn).astype(jnp.int32), 0)
-            hi2 = jnp.minimum(jnp.ceil(dqmx).astype(jnp.int32), dpad - 1)
-            lo8 = (lo2 >> 3) << 3
-            fits = hi2 - lo8 < slab      # also true when hi2 < lo2
-            lo_c = pl.multiple_of(jnp.clip(lo8, 0, dpad - slab), 8)
-
-            @pl.when(fits)
-            def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
-                dx_loop(vol_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
-                        lo_c, slab)
+        @pl.when(fits)
+        def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
+            dx_loop(vol_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
+                    lo_c, slab)
 
         @pl.when(jnp.logical_not(fits))
         def _(sy=sy, dx_loop=dx_loop):
@@ -771,8 +588,8 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
             tw: int, slab: int = 32, wnd_stride: int = 1,
             ybounds: jax.Array | None = None,
-            tree: bool = False, dy_grid: bool = True,
-            dx_unroll: bool | str = "auto", shear: bool = True,
+            dy_grid: bool = True,
+            dx_unroll: bool | str = "auto",
             fly_params: dict | None = None) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level.
 
@@ -810,32 +627,28 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         ybounds = jnp.array([0, prep.hs << prep.scale,
                              0, prep.ws << prep.scale], jnp.int32)
 
-    # Slope-shear the slab path (see _kernel): only meaningful when the
-    # slab path exists, and the tree gather has no sheared form.  B caps
-    # the representable per-tile mean slope at (B-1)/(wt/2) disparities
-    # per lane; 48 covers slopes to ~0.37 at the default tile width, and
-    # small volumes need no more headroom than their own depth.
-    shear_b = (min(48, dpad) if shear and 0 < slab < dpad and not tree
-               else 0)
-
     # dx mode policy: the static unroll wins only for single-candidate
     # launches (measured on v5e: K=1 141 vs 155 ms, but K=2 220 vs 198
     # and K=3 290 vs 220 -- the unrolled body's K tent blocks per dx
     # step spill registers).  "auto" unrolls exactly at K=1; True/False
     # force a mode (tests).
-    if dx_unroll == "auto":
-        dx_unroll = k == 1
-    elif dx_unroll == "always":
-        dx_unroll = True
-    elif dx_unroll == "never":
-        dx_unroll = False
+    if isinstance(dx_unroll, str):
+        if dx_unroll == "auto":
+            dx_unroll = k == 1
+        elif dx_unroll == "always":
+            dx_unroll = True
+        elif dx_unroll == "never":
+            dx_unroll = False
+        else:
+            raise ValueError(
+                f"dx_unroll must be 'auto', 'always', 'never', or a bool; "
+                f"got {dx_unroll!r}")
 
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
         scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride,
-        tree=tree, fly=fly_params, dy_grid=dy_grid, dx_unroll=dx_unroll,
-        shear_b=shear_b)
+        fly=fly_params, dy_grid=dy_grid, dx_unroll=dx_unroll)
 
     n_ch = 3 if fly_params is None else 4
     scratch = [
@@ -845,10 +658,6 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
     ]
     if fly_params is not None:
         scratch.append(pltpu.VMEM((4, rows_t, prep.slab_w), jnp.float32))
-    if shear_b > 0:
-        scratch.append(pltpu.VMEM((rows_t, dpad + 2 * shear_b, wt_pad),
-                                  jnp.float32))
-        scratch.append(pltpu.SMEM((1,), jnp.float32))
 
     grid = (nv, n_ty, n_tx)
     if dy_grid:
@@ -893,10 +702,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                tw: int = 128, slab: int = 32,
                                wnd_stride: int = 1,
                                ybounds: jax.Array | None = None,
-                               tree: bool = False,
                                dy_grid: bool = True,
-                               dx_unroll: bool | str = "auto",
-                               shear: bool = True) -> jax.Array:
+                               dx_unroll: bool | str = "auto") -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -913,8 +720,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
-                   wnd_stride=wnd_stride, ybounds=ybounds, tree=tree,
-                   dy_grid=dy_grid, dx_unroll=dx_unroll, shear=shear)
+                   wnd_stride=wnd_stride, ybounds=ybounds,
+                   dy_grid=dy_grid, dx_unroll=dx_unroll)
 
 
 def fly_sat_cost(alpha: float, tau_clr: float, tau_grd: float) -> float:
@@ -936,10 +743,8 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
                             border_thres: float = 3.0, th: int = 64,
                             tw: int = 128, slab: int = 32,
                             wnd_stride: int = 1,
-                            tree: bool = False,
                             dy_grid: bool = True,
-                            dx_unroll: bool | str = "auto",
-                            shear: bool = True) -> jax.Array:
+                            dx_unroll: bool | str = "auto") -> jax.Array:
     """Fused on-the-fly GRD window plane cost (no HBM cost volume).
 
     Same window/ASW/lerp semantics as window_plane_cost_prepared over the
@@ -961,8 +766,8 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
               border_thres=border_thres)
     return _invoke(prep, maxc, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
-                   slab=slab, wnd_stride=wnd_stride, tree=tree,
-                   dy_grid=dy_grid, dx_unroll=dx_unroll, shear=shear,
+                   slab=slab, wnd_stride=wnd_stride,
+                   dy_grid=dy_grid, dx_unroll=dx_unroll,
                    fly_params=fp)
 
 
@@ -987,10 +792,8 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
                                   tau_grd: float = 2.0,
                                   border_thres: float = 3.0, th: int = 64,
                                   tw: int = 128, slab: int = 32,
-                                  tree: bool = False,
                                   dy_grid: bool = True,
-                                  dx_unroll: bool | str = "auto",
-                                  shear: bool = True) -> jax.Array:
+                                  dx_unroll: bool | str = "auto") -> jax.Array:
     """Cross-scale on-the-fly aggregated plane cost (fused kernel per
     level, no HBM volumes) -- the TPU-native CSPC (cspc.cc:107-182
     capability; window/lerp semantics follow the Pre* window cost like
@@ -1005,8 +808,8 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
     for s, prep in enumerate(preps):
         cost_s = _invoke(prep, maxc, params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw,
-                         slab=slab, tree=tree, dy_grid=dy_grid,
-                         dx_unroll=dx_unroll, shear=shear, fly_params=fp)
+                         slab=slab, dy_grid=dy_grid,
+                         dx_unroll=dx_unroll, fly_params=fp)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2
@@ -1014,17 +817,17 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "half_wnd", "max_dis", "gamma", "th", "tw", "tree", "slab"))
+    "half_wnd", "max_dis", "gamma", "th", "tw", "slab"))
 def fly_plane_cost_pallas(imgs_u8: jax.Array, abc: jax.Array, *,
                           half_wnd: int, max_dis: int, gamma: float,
-                          th: int = 64, tw: int = 128, slab: int = 32,
-                          tree: bool = False) -> jax.Array:
+                          th: int = 64, tw: int = 128,
+                          slab: int = 32) -> jax.Array:
     """One-shot convenience wrapper: prepare + evaluate (used by tests)."""
     prep = prepare_fly(imgs_u8, half_wnd=half_wnd, max_dis=max_dis,
                        th=th, tw=tw)
     return fly_plane_cost_prepared(prep, abc, half_wnd=half_wnd,
                                    max_dis=max_dis, gamma=gamma, th=th,
-                                   tw=tw, slab=slab, tree=tree)
+                                   tw=tw, slab=slab)
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
@@ -1044,10 +847,8 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
                                     max_dis: int, gamma: float, th: int = 64,
                                     tw: int = 128, slab: int = 32,
                                     ybounds_s=None,
-                                    tree: bool = False,
                                     dy_grid: bool = True,
-                                    dx_unroll: bool | str = "auto",
-                                    shear: bool = True) -> jax.Array:
+                                    dx_unroll: bool | str = "auto") -> jax.Array:
     """Cross-scale aggregated plane cost, fused kernel per level.
 
     sum_s wgt_s * cost_s with the plane re-anchored through the level-s
@@ -1072,8 +873,8 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
         yb = None if ybounds_s is None else ybounds_s[s]
         cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab,
-                         ybounds=yb, tree=tree, dy_grid=dy_grid,
-                         dx_unroll=dx_unroll, shear=shear)
+                         ybounds=yb, dy_grid=dy_grid,
+                         dx_unroll=dx_unroll)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2
@@ -1081,26 +882,24 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "half_wnd", "max_dis", "gamma", "th", "tw", "tree"))
+    "half_wnd", "max_dis", "gamma", "th", "tw"))
 def window_plane_cost_pallas(imgs_u8: jax.Array, vols: jax.Array,
                              max_costs: jax.Array, abc: jax.Array, *,
                              half_wnd: int, max_dis: int, gamma: float,
-                             th: int = 64, tw: int = 128,
-                             tree: bool = False) -> jax.Array:
+                             th: int = 64, tw: int = 128) -> jax.Array:
     """One-shot convenience wrapper: prepare + evaluate (used by tests)."""
     prep = prepare_volumes(imgs_u8, vols, half_wnd=half_wnd, th=th, tw=tw)
     return window_plane_cost_prepared(prep, max_costs, abc,
                                       half_wnd=half_wnd, max_dis=max_dis,
-                                      gamma=gamma, th=th, tw=tw, tree=tree)
+                                      gamma=gamma, th=th, tw=tw)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "scale_wgts", "half_wnd", "max_dis", "gamma", "th", "tw", "tree"))
+    "scale_wgts", "half_wnd", "max_dis", "gamma", "th", "tw"))
 def cross_scale_plane_cost_pallas(pyr_imgs, pyr_vols, pyr_max_costs,
                                   scale_wgts, abc: jax.Array, *,
                                   half_wnd: int, max_dis: int, gamma: float,
-                                  th: int = 64, tw: int = 128,
-                                  tree: bool = False) -> jax.Array:
+                                  th: int = 64, tw: int = 128) -> jax.Array:
     """One-shot convenience wrapper: prepare + evaluate (used by tests).
 
     pyr_imgs / pyr_vols / pyr_max_costs are per-level tuples (level 0
@@ -1110,4 +909,4 @@ def cross_scale_plane_cost_pallas(pyr_imgs, pyr_vols, pyr_max_costs,
                                 th=th, tw=tw)
     return cross_scale_plane_cost_prepared(
         preps, pyr_max_costs, scale_wgts, abc, half_wnd=half_wnd,
-        max_dis=max_dis, gamma=gamma, th=th, tw=tw, tree=tree)
+        max_dis=max_dis, gamma=gamma, th=th, tw=tw)

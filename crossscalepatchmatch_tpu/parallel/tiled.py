@@ -339,18 +339,14 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                     preps, mcs, wgts, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                     ybounds_s=ybounds_s, slab=cfg.pallas_slab,
-                    tree=cfg.pallas_gather == "tree",
-                    dx_unroll=cfg.pallas_dx_unroll,
-                    shear=cfg.pallas_shear)
+                    dx_unroll=cfg.pallas_dx_unroll)
         else:
             def cost_fn(abc2: jax.Array) -> jax.Array:
                 return window_plane_cost_prepared(
                     prep0, max_cost, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0,
                     slab=cfg.pallas_slab,
-                    tree=cfg.pallas_gather == "tree",
-                    dx_unroll=cfg.pallas_dx_unroll,
-                    shear=cfg.pallas_shear)
+                    dx_unroll=cfg.pallas_dx_unroll)
 
             if cfg.prescreen_stride > 1 and sparse_fn is None:
                 def sparse_fn(abc2: jax.Array) -> jax.Array:
@@ -359,9 +355,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                         max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                         ybounds=yb0, slab=cfg.pallas_slab,
                         dx_unroll=cfg.pallas_dx_unroll,
-                        shear=cfg.pallas_shear,
-                        wnd_stride=cfg.prescreen_stride,
-                        tree=cfg.pallas_gather == "tree")
+                        wnd_stride=cfg.prescreen_stride)
     else:
         if cfg.use_cs and jax.default_backend() == "tpu":
             # see models.patchmatch.make_cost_fns: the jnp upsampled

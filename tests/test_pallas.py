@@ -17,9 +17,8 @@ from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
 from crossscalepatchmatch_tpu.ops.plane_cost import window_plane_cost
 
 
-@pytest.mark.parametrize("tree", [False, True])
 @pytest.mark.parametrize("k", [1, 3])
-def test_kernel_matches_jnp_interpret(k, tree):
+def test_kernel_matches_jnp_interpret(k):
     h, w, d, wnd = 24, 40, 8, 5
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -36,7 +35,7 @@ def test_kernel_matches_jnp_interpret(k, tree):
     with pltpu.force_tpu_interpret_mode():
         got = window_plane_cost_pallas(
             imgs, vols, mc, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
-            th=8, tw=128, tree=tree)
+            th=8, tw=128)
     want = jax.vmap(lambda i, v, m, a: window_plane_cost(
         i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
             imgs, vols, mc, abc)
@@ -79,13 +78,11 @@ def test_kernel_slab_path_matches_jnp_interpret():
 
 
 @pytest.mark.parametrize("dx_unroll", [True, False])
-def test_kernel_shear_slanted_matches_jnp_interpret(dx_unroll):
-    """Slope-sheared slab (round 3): a converged SLANTED field whose dq
-    spans ~a*width disparities across the tile -- too wide for the plain
-    per-tile slab bound, but its residual after the mean-slope shear fits
-    an 8-slice slab.  Checks the sheared read/tent re-indexing against the
-    jnp reference, with a wild candidate mixed in (full-path fallback) and
-    under both dx modes (static unroll / fori + dynamic rolls)."""
+def test_kernel_dx_modes_slanted_matches_jnp_interpret(dx_unroll):
+    """A converged SLANTED field (dq spans ~a*width disparities across the
+    tile, so the slab bound mostly falls back to the full contraction)
+    with a wild candidate mixed in, under both dx modes (static unroll /
+    fori + dynamic rolls)."""
     h, w, d, wnd = 24, 96, 32, 5
     key = jax.random.PRNGKey(11)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -117,7 +114,7 @@ def test_kernel_shear_slanted_matches_jnp_interpret(dx_unroll):
         prep = prepare_volumes(imgs, vols, half_wnd=wnd // 2, th=8, tw=128)
         got = window_plane_cost_prepared(
             prep, mc, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
-            th=8, tw=128, slab=8, dx_unroll=dx_unroll, shear=True)
+            th=8, tw=128, slab=8, dx_unroll=dx_unroll)
     want = jax.vmap(lambda i, v, m, a: window_plane_cost(
         i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
             imgs, vols, mc, abc)

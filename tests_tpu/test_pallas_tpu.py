@@ -23,20 +23,19 @@ def _mk(h, w, d, k, seed=0):
     return imgs, vols, mc, jnp.concatenate([ab, c[..., None]], axis=-1)
 
 
-@pytest.mark.parametrize("tree", [True, False])
 @pytest.mark.parametrize("h,w,d,wnd,k", [
     (128, 128, 16, 9, 1),
     (128, 188, 60, 35, 4),
     (96, 130, 20, 35, 2),     # non-tile-multiple shapes
 ])
-def test_kernel_exact_vs_jnp(h, w, d, wnd, k, tree):
+def test_kernel_exact_vs_jnp(h, w, d, wnd, k):
     from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
         window_plane_cost_pallas)
     from crossscalepatchmatch_tpu.ops.plane_cost import window_plane_cost
 
     imgs, vols, mc, abc = _mk(h, w, d, k)
     got = window_plane_cost_pallas(imgs, vols, mc, abc, half_wnd=wnd // 2,
-                                   max_dis=d, gamma=10.0, tree=tree)
+                                   max_dis=d, gamma=10.0)
     want = jax.jit(jax.vmap(lambda i, v, m, a: window_plane_cost(
         i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0)))(
             imgs, vols, mc, abc)
