@@ -76,8 +76,14 @@ seeds = make_global(seeds_np, P("data"))
 # barrier both processes reach the first collective within
 # milliseconds, so the Gloo rendezvous cannot time out.
 compiled = jit_run_batch_sharded(cfg, mesh).lower(l, r, seeds).compile()
+# wait_at_barrier is a private jax._src API (verified against the jax
+# pinned in this image, 2026-08); if a jax upgrade moves it, fall back to
+# executing directly -- re-accepting the Gloo context-init flake rather
+# than failing the suite on an attribute error.
 from jax._src import distributed
-distributed.global_state.client.wait_at_barrier("precompile", 600_000)
+_client = getattr(distributed.global_state, "client", None)
+if _client is not None and hasattr(_client, "wait_at_barrier"):
+    _client.wait_at_barrier("precompile", 600_000)
 out = compiled(l, r, seeds)
 jax.block_until_ready(out)
 shards = [([sl.indices(dim) for sl, dim in zip(s.index, out.shape)],
