@@ -1,4 +1,4 @@
-"""Scratch: ablate the window-cost kernel's per-dx pieces (not committed).
+"""Scratch: ablate the window-cost kernel's per-dx pieces.
 
 A trimmed standalone kernel mirroring ops/pallas/window_cost structure:
 grid (2, ty, tx, dy), tile DMA at dy==0, per-dy sublane roll, fori over

@@ -1,4 +1,4 @@
-"""Scratch: where does the TPU cold compile go? (not committed)
+"""Scratch: where does the TPU cold compile go?
 
 Times, with a COLD persistent cache (pass --cold to move .jax_cache aside):
   1. trace+lower of the full default pipeline

@@ -1,4 +1,4 @@
-"""Scratch: isolate the ~125 ms fixed cost of a full window-cost eval (not committed).
+"""Scratch: isolate the ~125 ms fixed cost of a full window-cost eval.
 
 Sweeps K (marginal vs fixed) and pallas_slab (does the fixed part scale
 with tent depth?), timing by host materialization (tunnel-safe).

@@ -1,4 +1,4 @@
-"""Scratch: measure merge_view {True,False} on the bench workload (not committed)."""
+"""Scratch: measure merge_view {True,False} on the bench workload."""
 import sys
 import time
 

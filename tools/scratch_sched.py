@@ -1,4 +1,4 @@
-"""Scratch: decompose bench time by schedule phase (not committed).
+"""Scratch: decompose bench time by schedule phase.
 
 Times the full pipeline under adopt_mode in {rank, rank+exact, exact} and
 the standalone phases (volume+quadrant build, single rank eval, single

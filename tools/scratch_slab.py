@@ -1,4 +1,4 @@
-"""Scratch: measure pallas_slab {8,16,32,48} on the bench workload (not committed)."""
+"""Scratch: measure pallas_slab {8,16,32,48} on the bench workload."""
 import sys
 import time
 

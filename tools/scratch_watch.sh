@@ -1,6 +1,6 @@
 #!/bin/bash
 # Probe the axon TPU tunnel; when it answers, run the measurement battery.
-# (scratch, not committed)
+# (scratch measurement loop)
 log=/tmp/tpu_watch.log
 echo "watch start $(date)" > "$log"
 for i in $(seq 1 200); do

@@ -1,4 +1,4 @@
-"""Scratch: re-measure the README/BASELINE workload table (not committed)."""
+"""Measurement driver: re-measure the README/BASELINE workload table."""
 import os
 import time
 
