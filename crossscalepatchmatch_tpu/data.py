@@ -57,7 +57,11 @@ def _smooth_noise(rng: np.random.Generator, h: int, w: int,
 
 def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
               seed: int = 0, slanted: bool = True, n_fg: int = 2,
-              texture_contrast: float = 1.0) -> StereoPair:
+              texture_contrast: float = 1.0,
+              noise_sigma: float = 1.0,
+              exposure_gain: float = 1.0,
+              exposure_bias: float = 0.0,
+              rect_jitter: float = 0.0) -> StereoPair:
     """Layered synthetic scene: background plane + n_fg foreground objects.
 
     Disparities stay within [1, max_dis - 1] so every non-occluded pixel is
@@ -69,6 +73,18 @@ def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
       texture_contrast: scales texture contrast around its mean (1.0
         default; ~0.3 gives low-texture scenes where the data term is
         weak and aggregation/propagation must carry the solution).
+      noise_sigma: std-dev of the per-pixel Gaussian sensor noise added
+        independently to both views (1.0 default; ~4 models a noisy
+        sensor -- the photometric-noise axis real pairs exercise).
+      exposure_gain / exposure_bias: photometric mismatch applied to the
+        RIGHT view only (right' = right * gain + bias) -- models the
+        inter-camera exposure/white-balance differences of real rigs
+        that the TAD color term (grd_cc.cpp:7-13) is sensitive to and
+        census (cen_cc.cc) is mostly invariant to.
+      rect_jitter: peak vertical rectification error in pixels: the right
+        view is resampled at y + jitter(x) with a smooth (sinusoidal
+        across x) sub-pixel offset, while the ground truth keeps the
+        ideal epipolar geometry -- models imperfect calibration.
     """
     rng = np.random.default_rng(seed)
     tex_w = w + max_dis + 4
@@ -170,9 +186,24 @@ def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
     valid_right = disp_right >= 0
     disp_right = np.where(valid_right, disp_right, 0.0)
 
-    noise = rng.normal(0, 1.0, (h, w, 3))
+    if rect_jitter != 0.0:
+        # vertical mis-rectification: resample right rows at y + off(x),
+        # smooth across columns, zero-mean; edge rows clamp.
+        off = rect_jitter * np.sin(
+            2.0 * np.pi * np.arange(w, dtype=np.float32) / w)
+        yq = np.clip(ys + off[None, :], 0.0, h - 1.0)
+        y0 = np.floor(yq).astype(np.int64)
+        y1 = np.minimum(y0 + 1, h - 1)
+        fy = (yq - y0)[..., None]
+        cols = np.broadcast_to(xs_i[None, :], (h, w))
+        right = ((1.0 - fy) * right[y0, cols]
+                 + fy * right[y1, cols])
+    if exposure_gain != 1.0 or exposure_bias != 0.0:
+        right = right * exposure_gain + exposure_bias
+
+    noise = rng.normal(0, noise_sigma, (h, w, 3))
     left = np.clip(left + noise, 0, 255).astype(np.uint8)
-    right = np.clip(right + rng.normal(0, 1.0, (h, w, 3)), 0,
+    right = np.clip(right + rng.normal(0, noise_sigma, (h, w, 3)), 0,
                     255).astype(np.uint8)
     return StereoPair(left=left, right=right,
                       disp_left=disp_left.astype(np.float32),

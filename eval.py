@@ -46,6 +46,15 @@ CONFIGS = [
      {"n_fg": 4}),
     ("lowtex_grd_pp", 192, 256, 16, 8, "GRD", False, True,
      {"texture_contrast": 0.3}),
+    # Realism rows (round 4): the failure axes real Middlebury/KITTI
+    # pairs exercise that clean synthetic scenes lack -- sensor noise,
+    # inter-camera exposure mismatch, and imperfect rectification.
+    ("noisy_cen_pp", 192, 256, 20, 8, "CEN", False, True,
+     {"noise_sigma": 4.0}),
+    ("exposure_grd_pp", 192, 256, 16, 8, "GRD", False, True,
+     {"exposure_gain": 1.15, "exposure_bias": 6.0}),
+    ("rectjitter_cen_pp", 192, 256, 20, 8, "CEN", False, True,
+     {"rect_jitter": 0.5}),
 ]
 QUICK = CONFIGS[:2]
 
@@ -54,9 +63,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="first two configs only")
-    ap.add_argument("--seeds", type=int, default=3,
+    ap.add_argument("--seeds", type=int, default=5,
                     help="engine seeds per config (mean is scored)")
-    ap.add_argument("--oracle_seeds", type=int, default=2,
+    ap.add_argument("--oracle_seeds", type=int, default=5,
                     help="oracle seeds per config (mean is scored; both "
                          "sides are stochastic optimizers)")
     ap.add_argument("--adopt", default=None,
@@ -124,9 +133,11 @@ def main():
         if os.path.exists(cache_path) and not args.no_oracle_cache:
             with open(cache_path) as f:
                 cache = json.load(f)
-        ckey = f"{name}/{args.oracle_seeds}"
+        # v2 cache entries keep the PER-SEED scores (the bootstrap CI
+        # below resamples them); v1 entries (mean only) are ignored.
+        ckey = f"{name}/v2/{args.oracle_seeds}"
         if ckey in cache:
-            bad_o, t_oracle = cache[ckey]
+            bads_o, t_oracle = cache[ckey]
         else:
             t0 = time.perf_counter()
             bads_o = []
@@ -136,14 +147,14 @@ def main():
                     dis_scale=dis_scale, cc_name=cc, use_cs=use_cs,
                     use_pp=use_pp, reg_lambda=reg_lambda,
                     scale_num=scale_num, seed=oseed)
-                bads_o.append(bad_pixel_rate(
+                bads_o.append(float(bad_pixel_rate(
                     np.asarray(dis_o[0], np.float32) / dis_scale,
-                    pair.disp_left, pair.valid_left, 1.0))
+                    pair.disp_left, pair.valid_left, 1.0)))
             t_oracle = (time.perf_counter() - t0) / args.oracle_seeds
-            bad_o = float(np.mean(bads_o))
-            cache[ckey] = [bad_o, t_oracle]
+            cache[ckey] = [bads_o, t_oracle]
             with open(cache_path, "w") as f:
                 json.dump(cache, f)
+        bad_o = float(np.mean(bads_o))
 
         adopt_kw = {} if args.adopt is None else dict(
             adopt_mode=args.adopt)
@@ -178,22 +189,38 @@ def main():
                 pair.disp_left, pair.valid_left, 1.0))
         bad_e = float(np.mean(bads))
         delta = bad_e - bad_o
-        ok = delta <= 0.005
+        # Bootstrap 95% upper confidence bound on the delta of means:
+        # both sides are stochastic optimizers scored over few seeds, and
+        # round 3 showed a +0.005-scale regression hiding inside seed
+        # noise (merge_view, BASELINE.md); the bound must hold on the CI
+        # upper end, not just the point estimate.
+        brng = np.random.default_rng(0)
+        e_s = np.asarray(bads, np.float64)
+        o_s = np.asarray(bads_o, np.float64)
+        n_boot = 10000
+        d_bs = (brng.choice(e_s, (n_boot, e_s.size)).mean(axis=1)
+                - brng.choice(o_s, (n_boot, o_s.size)).mean(axis=1))
+        ci_hi = float(np.quantile(d_bs, 0.975))
+        ok = ci_hi <= 0.005
         rows.append(dict(config=name, bad_oracle=round(bad_o, 4),
                          bad_engine=round(bad_e, 4),
-                         delta=round(delta, 4), within_bound=ok,
+                         delta=round(delta, 4),
+                         delta_ci95_hi=round(ci_hi, 4), within_bound=ok,
                          t_oracle_s=round(t_oracle, 1),
                          t_engine_s=round(t_engine, 2)))
         print(f"{name:22s} oracle {bad_o:.4f} ({t_oracle:5.1f}s)  "
               f"engine {bad_e:.4f} ({t_engine:5.2f}s)  "
-              f"delta {delta:+.4f}  {'OK' if ok else 'OVER'}",
+              f"delta {delta:+.4f} (ci95<={ci_hi:+.4f})  "
+              f"{'OK' if ok else 'OVER'}",
               file=sys.stderr, flush=True)
 
     worst = max(r["delta"] for r in rows)
+    worst_ci = max(r["delta_ci95_hi"] for r in rows)
     print(json.dumps({"metric": "bad_pixel_delta_vs_oracle_worst",
-                      "value": round(worst, 4), "bound": 0.005,
+                      "value": round(worst, 4),
+                      "worst_ci95_hi": round(worst_ci, 4), "bound": 0.005,
                       "rows": rows}))
-    return 0 if worst <= 0.005 else 1
+    return 0 if worst_ci <= 0.005 else 1
 
 
 if __name__ == "__main__":
