@@ -50,6 +50,9 @@ def main():
     if "--measure-baseline" in sys.argv:
         measure_baseline()
         return
+    batch = 0
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
     from crossscalepatchmatch_tpu.utils.probe import backend_reachable
     if not backend_reachable():
         # the axon tunnel hangs (not errors) when down; fail fast instead
@@ -111,6 +114,26 @@ def main():
         sink += int(np.asarray(out["dis"]).sum())
     dt = (time.perf_counter() - t0) / iters
     pairs_per_s = 1.0 / dt
+
+    if batch > 1:
+        # single-chip batch serving (models.pipeline.run_pairs): B pairs
+        # per dispatch.  Measured round 4: per-pair time equals the
+        # single-pair rate (the chip is saturated by one pair); the batch
+        # mode buys dispatch robustness, not throughput (BASELINE.md).
+        from crossscalepatchmatch_tpu.models.pipeline import run_pairs
+        ls = jnp.broadcast_to(l, (batch,) + l.shape)
+        rs = jnp.broadcast_to(r, (batch,) + r.shape)
+        seeds = jnp.arange(batch, dtype=jnp.int32)
+        sink += int(np.asarray(run_pairs(ls, rs, seeds, cfg)["dis"]).sum())
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            ob = run_pairs(ls, rs, seeds + batch * i, cfg)
+            sink += int(np.asarray(ob["dis"]).sum())
+        dtb = (time.perf_counter() - t0) / iters
+        print(f"bench: batch={batch}: {dtb*1e3:.0f} ms/batch = "
+              f"{dtb/batch*1e3:.0f} ms/pair "
+              f"({batch/dtb:.3f} pairs/s, {dt/(dtb/batch):.2f}x single)",
+              file=sys.stderr)
 
     vs_baseline = pairs_per_s * BASELINE_CPU_SECONDS_PER_PAIR
     print(f"bench: {dt*1e3:.0f} ms/pair", file=sys.stderr)

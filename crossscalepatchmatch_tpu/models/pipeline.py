@@ -51,6 +51,15 @@ def _finalize(state: pm.PMState, pp_imgs, cfg: CSPMConfig
     return {"dis": dis, "abc": state.abc, "cost": state.cost, "valid": valid}
 
 
+def _run_pair_impl(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
+                   cfg: CSPMConfig) -> Dict[str, jax.Array]:
+    h, w, _ = l_bgr_u8.shape
+    cost_fn, sparse_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
+    key = jax.random.PRNGKey(seed)
+    state = pm.patchmatch(key, (h, w), cost_fn, cfg, sparse_fn)
+    return _finalize(state, pp_imgs, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_pair(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
              cfg: CSPMConfig) -> Dict[str, jax.Array]:
@@ -67,11 +76,40 @@ def run_pair(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
       final plane fields, "cost" f32[2, H, W] final costs, and "valid"
       bool[2, H, W] LR-check mask (all-true when use_pp=False).
     """
-    h, w, _ = l_bgr_u8.shape
-    cost_fn, sparse_fn, pp_imgs = _make_cost_fn(l_bgr_u8, r_bgr_u8, cfg)
-    key = jax.random.PRNGKey(seed)
-    state = pm.patchmatch(key, (h, w), cost_fn, cfg, sparse_fn)
-    return _finalize(state, pp_imgs, cfg)
+    return _run_pair_impl(l_bgr_u8, r_bgr_u8, seed, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_pairs(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seeds: jax.Array,
+              cfg: CSPMConfig) -> Dict[str, jax.Array]:
+    """Batched single-chip serving: B pairs through ONE compiled program.
+
+    Pairs execute sequentially on-device (lax.map), so per-pair wall
+    clock equals run_pair's -- measured round 4 (BASELINE.md): one v5e
+    chip is already saturated by a single pair, so batching buys no
+    per-pair speedup (a vmapped variant that grew the kernel grids
+    measured 0.93-0.96x single rate and failed Pallas lowering on the
+    fly path; rejected).  What the batch mode DOES buy: one host
+    dispatch for B pairs -- under host-side contention the per-call
+    dispatch path degraded 3-38x in round-4 measurements while the
+    batched program held its rate -- plus one compile and one output
+    materialization for a whole job.
+
+    The reference has no batch mode (main.cc processes one pair per
+    process); the input.txt regression matrix (input.txt:1-20) is its
+    natural workload: 12 pairs = one call.  For multi-chip batch data
+    parallelism see parallel.tiled.run_batch_sharded; this is the
+    one-chip serving path.
+
+    Args:
+      l_bgr_u8 / r_bgr_u8: u8[B, H, W, 3] stacked views.
+      seeds: i32[B] per-pair RNG seeds.
+
+    Returns: run_pair's dict with a leading batch axis on every entry.
+    """
+    return jax.lax.map(
+        lambda args: _run_pair_impl(args[0], args[1], args[2], cfg),
+        (l_bgr_u8, r_bgr_u8, seeds))
 
 
 def run_pair_np(l_bgr_u8, r_bgr_u8, cfg: CSPMConfig, seed: int = 0):

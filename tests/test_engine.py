@@ -88,6 +88,24 @@ class TestEndToEnd:
         b = run_pair_np(pair.left, pair.right, cfg, seed=7)
         np.testing.assert_array_equal(a["dis"], b["dis"])
 
+    def test_batched_pairs_match_single_runs(self):
+        # run_pairs (single-chip batch serving) must equal per-pair
+        # run_pair bit-for-bit, each pair under its own seed
+        from crossscalepatchmatch_tpu.models.pipeline import (run_pair,
+                                                              run_pairs)
+        p0 = make_pair(**SMALL)
+        p1 = make_pair(**{**SMALL, "seed": 9, "n_fg": 3})
+        cfg = small_cfg()
+        ls = jnp.stack([jnp.asarray(p0.left), jnp.asarray(p1.left)])
+        rs = jnp.stack([jnp.asarray(p0.right), jnp.asarray(p1.right)])
+        seeds = jnp.array([3, 11], jnp.int32)
+        batched = run_pairs(ls, rs, seeds, cfg)
+        for i in range(2):
+            single = run_pair(ls[i], rs[i], seeds[i], cfg)
+            for k in ("dis", "abc", "cost", "valid"):
+                np.testing.assert_array_equal(np.asarray(batched[k][i]),
+                                              np.asarray(single[k]), err_msg=k)
+
     def test_rank_exact_adoption_converges(self):
         # rank+exact: iterations 0..max_iter-2 adopt on quadrant ranking
         # costs, the final iteration on exact costs
