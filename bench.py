@@ -140,17 +140,15 @@ def main():
 
     # Roofline: measured f32 VPU ceiling + analytic pipeline flop counts
     # (utils.roofline).  semantic = the 2-tap lerp the reference semantics
-    # require; executed = the kernel's dense tent contraction (range: slab
-    # fast path .. full-dpad fallback, hit rate is data-dependent).
+    # require; executed = the kernel's dense full-depth tent contraction.
     from crossscalepatchmatch_tpu.utils.roofline import (measure_vpu_peak,
                                                          pipeline_flops)
     vpu = measure_vpu_peak()
     fl = pipeline_flops(cfg, h, w)
-    util_lo = fl["executed_slab"] / dt / vpu * 100.0
-    util_hi = fl["executed_full"] / dt / vpu * 100.0
+    util = fl["executed"] / dt / vpu * 100.0
     mfu_sem = fl["semantic_flops"] / dt / vpu * 100.0
     print(f"bench: VPU ceiling {vpu/1e12:.2f} Tops/s (measured fma); "
-          f"executed-work utilization {util_lo:.0f}-{util_hi:.0f}% of "
+          f"executed-work utilization {util:.0f}% of "
           f"ceiling; semantic MFU {mfu_sem:.1f}%", file=sys.stderr)
     print(json.dumps({
         "metric": "stereo_pairs_per_second_per_chip",
@@ -159,11 +157,10 @@ def main():
                 f"CPU baseline {BASELINE_CPU_SECONDS_PER_PAIR:.0f}s/pair)",
         "vs_baseline": round(vs_baseline, 2),
         "flops_semantic_per_pair": round(fl["semantic_flops"]),
-        "flops_executed_per_pair": [round(fl["executed_slab"]),
-                                    round(fl["executed_full"])],
+        "flops_executed_per_pair": round(fl["executed"]),
         "hbm_bytes_per_pair": round(fl["hbm_bytes"]),
         "vpu_peak_measured_ops_s": round(vpu),
-        "vpu_utilization_pct": [round(util_lo, 1), round(util_hi, 1)],
+        "vpu_utilization_pct": round(util, 1),
         "mfu_semantic_pct": round(mfu_sem, 2),
     }))
 

@@ -188,24 +188,14 @@ class CSPMConfig:
     seed: int = 0
     eps: float = 1e-8           # kDoubleEps analogue (commfunc.h:25)
     use_pallas: bool = True     # use the fused Pallas window-cost kernel on TPU
-    # Disparity-slab width for the kernel's fast path (multiple of 8;
-    # 0 disables).  See ops.pallas.window_cost._kernel.
-    pallas_slab: int = 32
-    # (Two removed alternatives for the kernel's disparity lerp -- a
-    # log-depth select-tree gather of the exact two taps and a
-    # slope-sheared slab -- were built, measured SLOWER on v5e hardware,
-    # and deleted in round 4; BASELINE.md keeps the numbers, git history
-    # rounds 1-3 the code.)
-    # Kernel window-column (dx) loop mode: "auto" statically unrolls the
-    # loop for K=1 launches -- each dx offset becomes a static unaligned
-    # lane slice (one shift stage per vreg) instead of a fori-loop
-    # dynamic lane-rotate (log2(lanes) ~ 8 stages plus loop overhead) --
-    # and keeps the fori form for K >= 2, where the unrolled body's K
-    # tent blocks spill registers and measure SLOWER (v5e: K=1 141 vs
-    # 155 ms unroll-vs-fori, K=2 220 vs 198, K=3 290 vs 220).
-    # "always"/"never" force one mode (values identical either way;
-    # "never" also compiles a ~wnd-times smaller kernel body).
-    pallas_dx_unroll: str = "auto"
+    # (FOUR data-sparse / scheduling alternatives for the kernel's
+    # disparity lerp were built across rounds 1-4, measured SLOWER on v5e
+    # hardware than the plain dense tent contraction, and deleted: a
+    # log-depth select-tree gather of the exact two taps, a slope-sheared
+    # disparity slab, min/max-bounded disparity slabs at per-tile and
+    # then per-(candidate, 8-row band) granularity, and the K-in-body
+    # dx-loop-mode knob the old layouts needed.  BASELINE.md keeps every
+    # measurement; git history rounds 1-4 the code.)
 
     def __post_init__(self):
         if self.wnd_size % 2 != 1:
@@ -222,15 +212,6 @@ class CSPMConfig:
             raise ValueError(
                 "aggregation filters need a precomputed volume to filter "
                 "(ca_method.h operates on volume slices)")
-        if self.pallas_slab < 0 or self.pallas_slab % 8 != 0:
-            raise ValueError(
-                f"pallas_slab must be a non-negative multiple of 8 (the "
-                f"kernel's dynamic sublane slice must stay 8-aligned), got "
-                f"{self.pallas_slab}")
-        if self.pallas_dx_unroll not in ("auto", "always", "never"):
-            raise ValueError(
-                f"pallas_dx_unroll must be 'auto', 'always' or 'never', "
-                f"got {self.pallas_dx_unroll!r}")
         if self.prescreen_mode not in ("window", "volume"):
             raise ValueError(
                 f"prescreen_mode must be 'window' or 'volume', got "

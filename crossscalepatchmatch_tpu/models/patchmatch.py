@@ -129,8 +129,7 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
     kw = dict(half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
               gamma=cfg.wgt_gamma, alpha=cfg.cost_alpha,
               tau_clr=cfg.tau_clr, tau_grd=cfg.tau_grd,
-              border_thres=cfg.border_thres, slab=cfg.pallas_slab,
-              dx_unroll=cfg.pallas_dx_unroll)
+              border_thres=cfg.border_thres,)
     if cfg.use_cs:
         levels = cfg.scale_num
         l_pyr = build_pyramid(l_bgr_u8, levels)
@@ -214,9 +213,7 @@ def make_cost_fns(cfg: CSPMConfig,
         def kernel_fn(abc2: jax.Array, stride: int) -> jax.Array:
             return window_plane_cost_prepared(
                 prep, max_costs, abc2, half_wnd=cfg.half_wnd,
-                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                slab=cfg.pallas_slab, wnd_stride=stride,
-                dx_unroll=cfg.pallas_dx_unroll)
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, wnd_stride=stride,)
 
         cost_fn = functools.partial(kernel_fn, stride=1)
         if volume_mode:
@@ -238,9 +235,7 @@ def make_cost_fns(cfg: CSPMConfig,
         def cost_fn(abc2: jax.Array) -> jax.Array:
             return cross_scale_plane_cost_prepared(
                 preps, max_costs_s, wgts, abc2, half_wnd=cfg.half_wnd,
-                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                slab=cfg.pallas_slab,
-                dx_unroll=cfg.pallas_dx_unroll)
+                max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,)
 
         return cost_fn, (_volume_sparse_fn(cfg, vd) if volume_mode
                          else None)

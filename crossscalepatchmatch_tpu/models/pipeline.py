@@ -132,9 +132,8 @@ def run_pair_warm(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array, seed: jax.Array,
     cs_patchmatch.cc:115-148): the previous frame's converged plane field
     seeds the optimizer, whose costs are re-evaluated against the NEW
     frame's volumes, and only `warm_iters` outer iterations run instead of
-    cfg.max_iter.  Converged fields keep per-tile disparity spans narrow,
-    so the fused kernel's disparity-slab fast path engages from the first
-    sweep (ops.pallas.window_cost).
+    cfg.max_iter (measured round 4: 673 ms/frame vs 1200 ms cold at the
+    bench workload).
 
     Args:
       init_abc: f32[2, H, W, 3] plane field, e.g. run_pair's "abc" output

@@ -110,11 +110,10 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             *scratch,
             hb: int, wnd: int, th: int, tw: int, dpad: int,
             max_dis: int, gamma: float, k: int,
-            scale: int = 0, ws: int = 0, slab: int = 0,
+            scale: int = 0, ws: int = 0,
             wstride: int = 1,
-            fly: dict | None = None, dy_grid: bool = False,
-            dx_unroll: bool = True):
-    """One (view, tile_y, tile_x) grid step.
+            fly: dict | None = None):
+    """One (view, tile_y, tile_x, candidate, dy) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
       side of H, W; for scale > 0 the arrays are the pyramid level
@@ -130,11 +129,33 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
       (parallel.tiled) while pixels past the global image border do not.
       For scale > 0 the interval encodes ((p + off) >> s) < n_s as the
       fine-coordinate interval [-off, (n_s << s) - off).
-    out_ref: f32[1, K, th, tw] VMEM block
-    img_tile: f32[3, th+2mg, WT] VMEM scratch, WT = roundup(tw+2mg, 128)
-      (dynamic lane-rotates need a 128-multiple lane dim; lanes past
-      tw+2mg are never read)
-    vol_tile: f32[th+2mg, dpad, WT] VMEM scratch
+    out_ref: f32[1, 1, th, tw] VMEM block (the current candidate's)
+
+    Grid layout (round 4).  The window row offset dy and the candidate
+    index kk ride the GRID instead of the kernel body:
+
+      grid = (view, tile_y, tile_x, kk, dy)
+
+    so one grid step evaluates ONE candidate's ONE window row over the
+    tile.  Consequences, all measured/structural:
+      * the compiled body is K-independent and holds a single dy step --
+        small Mosaic compile units (cold compile ~2x faster than the
+        round-3 K-in-body forms), and the dx loop is always the
+        statically-unrolled form (the K >= 2 register-spill tradeoff that
+        needed a fori fallback no longer exists);
+      * tile DMAs run on the tile's first step only; VMEM scratch and the
+        per-candidate output block persist across the inner grid dims
+        (the output block index is constant over dy and never revisited
+        after its kk retires).
+
+    Scratch:
+      img_tile: f32[n_ch, th+2mg, WT] raw halo'd tile rows,
+        WT = roundup(tw+2mg, 128)
+      vol_tile: f32[th+2mg, dpad, WT]
+      img_rot:  f32[3, th+2mg, WT] -- rows rotated by mg+sy for the
+        current dy (tpu.dynamic_rotate takes a traced shift; a dynamic
+        memref slice at the arbitrary offset mg+sy would not be legal),
+        rebuilt on each (kk, dy) step
 
     Cross-scale (scale > 0) semantics follow
     ops.plane_cost.window_plane_cost_upsampled (pre_cs_pc.cc:133-188): the
@@ -144,29 +165,30 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     valid iff its fine coordinate maps to a real level-s pixel
     ((fy >> s) < hs etc.); max_dis is the level-s disparity bound.
 
-    Disparity-slab fast path (slab = S > 0): the tent contraction only has
-    mass where |dq - d| < 1, so per row offset dy the kernel computes a
-    conservative bound on dq over the whole tile, the stencil of dx offsets,
-    and all K candidates (interval arithmetic over the per-tile min/max of
-    d_center, a, b -- exact, never clips real mass).  When the bound spans
-    <= S slices, the contraction runs over a dynamically-sliced S-sublane
-    slab instead of all dpad slices (~dpad/S times less VPU work); otherwise
-    it falls back to the full contraction.  Early (random-init) evaluations
-    mostly take the full path; converged plane fields mostly take the slab.
-
-    (Two alternative evaluation modes were built, measured slower on v5e
-    hardware, and removed in round 4 -- a log-depth select-tree gather of
-    the exact two taps, and a slope-sheared slab; the measurements live in
-    BASELINE.md and the implementations in git history, rounds 1-3.)
+    The contraction always runs over all dpad slices.  THREE data-sparse
+    alternatives were built, measured SLOWER on v5e hardware, and removed
+    (measurements in BASELINE.md; implementations in git history):
+      * a log-depth select-tree gather of the exact two taps (round 1-3);
+      * a slope-sheared disparity slab (round 3);
+      * a dynamically-sliced disparity slab with per-tile, then
+        per-(candidate, 8-row band) min/max dq bounds (rounds 1-4): real
+        optimizer fields keep scattered outlier pixels and depth edges
+        that blow the interval at every granularity (band8 fit rates:
+        37% converged, 2% mid-optimization), while the bound + dual-path
+        machinery taxed every launch -- removing it measured faster on
+        every workload (bench 1477 -> 1200 ms/pair, KITTI 8.2 -> 7.7 s,
+        CS+PP 3.3 -> 2.8 s, warm frame 983 -> 673 ms).
     """
-    img_tile, vol_tile, sems = scratch[0], scratch[1], scratch[2]
-    oth_slab = scratch[3] if fly is not None else None
+    img_tile, vol_tile, img_rot, sems = scratch[:4]
+    oth_slab = scratch[4] if fly is not None else None
 
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
     v = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
+    kk = pl.program_id(3)
+    dyi = pl.program_id(4)
     r0 = ti * th          # padded-array row of the tile's first halo row
     c0 = tj * tw
 
@@ -174,12 +196,11 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     wt = img_tile.shape[2]           # roundup(tw + 2mg, 128)
     inv_step = jnp.float32(1.0 / step)
 
-    # abc_ref is a prefetched VMEM block -- valid from the first
-    # instruction (unlike img_tile/vol_tile, which wait on the DMAs).
-    params = [[abc_ref[0, kk, c] for c in range(3)] for kk in range(k)]
-    if scale > 0:
-        params = [[p0 * inv_step, pa, pb] for p0, pa, pb in params]
+    o_start = -hb
+    dy = dyi * wstride + o_start
+    sy = dy * step
 
+    @pl.when((kk == 0) & (dyi == 0))
     def _setup():
         # DMA slab sizes are rounded up to the (8, 128) memref tiling; the
         # extra rows/lanes are never read by the compute below.
@@ -204,175 +225,75 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         if fly is not None:
             _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
                        scale=scale, mg=mg, ws=ws, **fly)
+
+    # Image rows at a traced sublane offset: Mosaic rejects dynamic memref
+    # slices on a TILED dim unless the index is provably a multiple of the
+    # (8,128) tiling -- and mg + sy is an arbitrary integer.
+    # tpu.dynamic_rotate DOES support a traced shift on the sublane axis,
+    # so roll the rows down by mg + sy once per (kk, dy) step.
+    img_rot[...] = pltpu.roll(img_tile[0:3], rows_t - (mg + sy), 1)
+
+    @pl.when(dyi == 0)
+    def _zero():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    if dy_grid:
-        # The tile DMAs, the fly volume build, and the output zeroing run
-        # on the tile's FIRST dy step only: VMEM scratch and the revisited
-        # output block persist across the (innermost, sequential) dy grid
-        # steps of one (v, ty, tx) tile.
-        @pl.when(pl.program_id(3) == 0)
-        def _():
-            _setup()
-    else:
-        _setup()
+    # This candidate's plane params over the tile's center pixels.
+    p0 = abc_ref[0, kk, 0]
+    pa = abc_ref[0, kk, 1]
+    pb = abc_ref[0, kk, 2]
+    if scale > 0:
+        p0 = p0 * inv_step
 
     # Global (unpadded) FINE-grid coordinates of the tile's center pixels.
     ys = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + r0
     xs = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + c0
     maxc = maxc_ref[v]
     inv_gamma = jnp.float32(1.0 / gamma)
+    dyf = dy.astype(jnp.float32)       # dy is traced (grid-derived)
 
     ctr = [img_tile[p, mg:mg + th, mg:mg + tw] for p in range(3)]
+    q_rows = [img_rot[p, 0:th, :] for p in range(3)]
 
-    use_slab = 0 < slab < dpad
-    if use_slab:
-        # Per-candidate per-pixel |a|*hb (the symmetric dx span), feeding
-        # the per-dy dq intervals below.
-        ahb = [jnp.abs(params[kk][1]) * jnp.float32(hb) for kk in range(k)]
+    fy = ys + sy
+    # For scale > 0 the caller encodes ((fy + row0) >> s) < hs as the
+    # local fine-row interval [ylo, yhi) = [-row0, (hs << s) - row0):
+    # for integer fy >= ylo the two are equivalent.
+    y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
 
-    # Mosaic cannot form vector loads at traced lane offsets, so the row
-    # offset dy is either a static unroll (unaligned static slices are
-    # fine) or -- dy_grid mode -- the innermost grid dimension, where the
-    # volume rows come from a dynamic slice on the tile's UNTILED leading
-    # axis and the image rows from a sublane dynamic_rotate.  The column
-    # offset dx is a STATIC unroll by default (dx_unroll=True): a static
-    # unaligned lane slice lowers to ONE shift stage per vreg, while the
-    # fori-loop alternative's dynamic lane-rotate lowers to log2(lanes)
-    # select-shift stages (~8x the data movement -- measured 107 ms of a
-    # 168 ms K=1 launch at dpad=64) plus ~0.25 us/iteration loop overhead.
-    # dx_unroll=False keeps the fori + dynamic-roll form (smaller compiled
-    # body; same values).  wstride > 1 evaluates a subsampled window
-    # (candidate prescreening); the strided grid starts at -hb, matching
-    # ops.plane_cost.stride_start (see there for why it is NOT anchored on
-    # the center offset).
-    o_start = -hb
     n_dx = len(range(o_start, hb + 1, wstride))
 
-    def _dy_step(dy, sy, img_dy):
-        fy = ys + sy
-        # For scale > 0 the caller encodes ((fy + row0) >> s) < hs as the
-        # local fine-row interval [ylo, yhi) = [-row0, (hs << s) - row0):
-        # for integer fy >= ylo the two are equivalent.
-        y_ok = (fy >= yb_ref[0]) & (fy < yb_ref[1])
-
-        def dx_loop(vol_dy, d0, nd, img_dy=img_dy, y_ok=y_ok, dy=dy):
-            """Accumulate all dx offsets with the dense tent contraction
-            sum_d vol*max(0, 1-|dq-d|) over vol_dy's nd slices, whose
-            first slice is disparity d0 -- equal to the two-tap lerp at
-            fractional disparity dq (pre_ss_pc.cc:99-111) because the
-            tent has mass only at floor(dq)/ceil(dq).
-            """
-            d_io = jax.lax.broadcasted_iota(
-                jnp.int32, (th, nd, tw), 1).astype(jnp.float32)
-            d_io = (d_io + d0.astype(jnp.float32) if nd != dpad
-                    else d_io)
-
-            def dx_body(dx, q, vol_q):
-                """Accumulate one dx offset; q / vol_q are the dx-aligned
-                image planes and volume slab."""
-                l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
-                      + jnp.abs(ctr[2] - q[2]))
-                # window pixel must map to a real (level-s) image pixel
-                fx = xs + dx * step
-                q_ok = y_ok & (fx >= yb_ref[2]) & (fx < yb_ref[3])
-                wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
-                dxf = jnp.asarray(dx, jnp.float32)
-
-                for kk in range(k):
-                    dq = (params[kk][0] + params[kk][1] * dxf
-                          + params[kk][2] * dy)
-                    f = jnp.trunc(dq)
-                    in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
-                    tent = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
-                    val = jnp.sum(vol_q * tent, axis=1)
-                    val = jnp.where(in_range, val, maxc)
-                    out_ref[0, kk] += wgt * val
-
-            if dx_unroll:
-                for dxi in range(n_dx):
-                    dx = dxi * wstride + o_start
-                    off = (dx + hb) * step        # static lane offset
-                    dx_body(dx,
-                            [img_dy[p][:, off:off + tw] for p in range(3)],
-                            vol_dy[:, :, off:off + tw])
-            else:
-                def fori_body(dxi, _):
-                    dx = dxi * wstride + o_start
-                    shift = wt - (dx + hb) * step
-                    dx_body(dx,
-                            [pltpu.roll(img_dy[p], shift, 1)[:, :tw]
-                             for p in range(3)],
-                            pltpu.roll(vol_dy, shift, 2)[:, :, :tw])
-                    return 0
-
-                jax.lax.fori_loop(0, n_dx, fori_body, 0)
-
-        if not use_slab:
-            dx_loop(vol_tile[pl.ds(mg + sy, th), :, :], jnp.int32(0),
-                    dpad)
-            return
-
-        # Per-pixel dq interval over this dy and all dx in [-hb, hb],
-        # clipped to the volume's relevant range (tent mass exists only
-        # for dq in (-1, dpad); a pixel entirely outside it takes the
-        # saturation branch, so its wild plane must not widen the slab),
-        # then reduced over the tile and all K candidates.
-        big = jnp.float32(1e9)
-        dpad_f = jnp.float32(dpad)
-        dqmn = dqmx = None
-        for kk in range(k):
-            dq_ctr = params[kk][0] + params[kk][2] * dy
-            lo_px = dq_ctr - ahb[kk]
-            hi_px = dq_ctr + ahb[kk]
-            irr = (hi_px <= -1.0) | (lo_px >= dpad_f)
-            lo_k = jnp.min(jnp.where(
-                irr, big, jnp.maximum(lo_px, -1.0)))
-            hi_k = jnp.max(jnp.where(
-                irr, -big, jnp.minimum(hi_px, dpad_f)))
-            dqmn = lo_k if dqmn is None else jnp.minimum(dqmn, lo_k)
-            dqmx = hi_k if dqmx is None else jnp.maximum(dqmx, hi_k)
-        # tent mass lives at integer d in (dq-1, dq+1); the slab start is
-        # aligned down to a sublane multiple (Mosaic requires the dynamic
-        # sublane index to be provably a multiple of 8).  An all-irrelevant
-        # tile reduces to (+big, -big) and trivially "fits".
-        lo2 = jnp.maximum(jnp.floor(dqmn).astype(jnp.int32), 0)
-        hi2 = jnp.minimum(jnp.ceil(dqmx).astype(jnp.int32), dpad - 1)
-        lo8 = (lo2 >> 3) << 3
-        fits = hi2 - lo8 < slab      # also true when hi2 < lo2
-        lo_c = pl.multiple_of(jnp.clip(lo8, 0, dpad - slab), 8)
-
-        @pl.when(fits)
-        def _(sy=sy, lo_c=lo_c, dx_loop=dx_loop):
-            dx_loop(vol_tile[pl.ds(mg + sy, th), pl.ds(lo_c, slab), :],
-                    lo_c, slab)
-
-        @pl.when(jnp.logical_not(fits))
-        def _(sy=sy, dx_loop=dx_loop):
-            dx_loop(vol_tile[pl.ds(mg + sy, th), :, :], jnp.int32(0),
-                    dpad)
-
-    if dy_grid:
-        dy = pl.program_id(3) * wstride + o_start
-        sy = dy * step
-        # Image rows at a traced sublane offset: Mosaic rejects dynamic
-        # memref slices on a TILED dim unless the index is provably a
-        # multiple of the (8,128) tiling -- and mg + sy is an arbitrary
-        # integer -- for VMEM and HBM refs alike (both carry the tiled
-        # layout on this toolchain).  tpu.dynamic_rotate DOES support a
-        # traced shift on the sublane axis, so roll the rows down by
-        # mg + sy and take a static th-row slice (rows past th wrap
-        # around; never read).
-        rows = img_tile.shape[1]
-        img_r = pltpu.roll(img_tile[0:3], rows - (mg + sy), 1)
-        _dy_step(dy, sy, [img_r[p, 0:th, :] for p in range(3)])
-    else:
-        for dy in range(o_start, hb + 1, wstride):
-            sy = dy * step
-            _dy_step(dy, sy,
-                     [img_tile[p, mg + sy:mg + sy + th, :]
-                      for p in range(3)])
+    # Accumulate all dx offsets with the dense tent contraction
+    # sum_d vol*max(0, 1-|dq-d|) over the dpad slices -- equal to the
+    # two-tap lerp at fractional disparity dq (pre_ss_pc.cc:99-111)
+    # because the tent has mass only at floor(dq)/ceil(dq).
+    #
+    # The dx offsets are a static unroll: a static unaligned lane slice
+    # lowers to ONE shift stage per vreg, where a dynamic lane-rotate
+    # costs log2(lanes) select-shift stages (measured 107 ms of a 168 ms
+    # K=1 launch at dpad=64, round 3).  wstride > 1 evaluates a
+    # subsampled window (candidate prescreening); the strided grid starts
+    # at -hb, matching ops.plane_cost.stride_start.
+    vol_b = vol_tile[pl.ds(mg + sy, th), :, :]
+    d_io = jax.lax.broadcasted_iota(
+        jnp.int32, (th, dpad, tw), 1).astype(jnp.float32)
+    for dxi in range(n_dx):
+        dx = dxi * wstride + o_start
+        off = (dx + hb) * step        # static lane offset
+        q = [q_rows[p][:, off:off + tw] for p in range(3)]
+        vol_q = vol_b[:, :, off:off + tw]
+        l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
+              + jnp.abs(ctr[2] - q[2]))
+        # window pixel must map to a real (level-s) image pixel
+        fx = xs + dx * step
+        q_ok = y_ok & (fx >= yb_ref[2]) & (fx < yb_ref[3])
+        wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
+        dq = p0 + pa * jnp.float32(dx) + pb * dyf
+        f = jnp.trunc(dq)
+        in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
+        tent = jnp.maximum(0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
+        val = jnp.sum(vol_q * tent, axis=1)
+        val = jnp.where(in_range, val, maxc)
+        out_ref[0, 0] += wgt * val
 
 
 class PreparedVolumes:
@@ -586,10 +507,8 @@ def plane_params(abc: jax.Array, *, th: int = 64,
 
 def _invoke(prep, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
-            tw: int, slab: int = 32, wnd_stride: int = 1,
+            tw: int, wnd_stride: int = 1,
             ybounds: jax.Array | None = None,
-            dy_grid: bool = True,
-            dx_unroll: bool | str = "auto",
             fly_params: dict | None = None) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level.
 
@@ -597,12 +516,7 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
     dict(alpha, tau_clr, tau_grd, border_thres) -- the tile volume is
     then built in VMEM by _fly_build).
 
-    dy_grid=True (default) iterates the window row offset dy as the
-    innermost grid dimension instead of a static unroll: the compiled
-    kernel body holds ONE dy step, cutting the Mosaic compile time of an
-    instantiation roughly by the unroll factor (measured 103 s -> seconds
-    at wnd=35) at identical output values (same f32 operation order --
-    grid steps execute the same per-dy accumulations sequentially).
+    The grid carries (candidate, dy) -- see _kernel.
     """
     h, w, d = prep.h, prep.w, prep.d
     img_p = prep.img_p
@@ -627,42 +541,24 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         ybounds = jnp.array([0, prep.hs << prep.scale,
                              0, prep.ws << prep.scale], jnp.int32)
 
-    # dx mode policy: the static unroll wins only for single-candidate
-    # launches (measured on v5e: K=1 141 vs 155 ms, but K=2 220 vs 198
-    # and K=3 290 vs 220 -- the unrolled body's K tent blocks per dx
-    # step spill registers).  "auto" unrolls exactly at K=1; True/False
-    # force a mode (tests).
-    if isinstance(dx_unroll, str):
-        if dx_unroll == "auto":
-            dx_unroll = k == 1
-        elif dx_unroll == "always":
-            dx_unroll = True
-        elif dx_unroll == "never":
-            dx_unroll = False
-        else:
-            raise ValueError(
-                f"dx_unroll must be 'auto', 'always', 'never', or a bool; "
-                f"got {dx_unroll!r}")
-
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
-        scale=prep.scale, ws=prep.ws, slab=slab, wstride=wnd_stride,
-        fly=fly_params, dy_grid=dy_grid, dx_unroll=dx_unroll)
+        scale=prep.scale, ws=prep.ws, wstride=wnd_stride,
+        fly=fly_params)
 
     n_ch = 3 if fly_params is None else 4
     scratch = [
         pltpu.VMEM((n_ch, rows_t, wt_pad), jnp.float32),
         pltpu.VMEM((rows_t, dpad, wt_pad), jnp.float32),
+        pltpu.VMEM((3, rows_t, wt_pad), jnp.float32),
         pltpu.SemaphoreType.DMA((3,)),
     ]
     if fly_params is not None:
         scratch.append(pltpu.VMEM((4, rows_t, prep.slab_w), jnp.float32))
 
-    grid = (nv, n_ty, n_tx)
-    if dy_grid:
-        n_dy = len(range(-hb, hb + 1, wnd_stride))
-        grid = grid + (n_dy,)
+    n_dy = len(range(-hb, hb + 1, wnd_stride))
+    grid = (nv, n_ty, n_tx, k, n_dy)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -674,8 +570,8 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
                          lambda v, i, j, *_: (v, 0, 0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, th, tw),
-                               lambda v, i, j, *_: (v, 0, i, j),
+        out_specs=pl.BlockSpec((1, 1, th, tw),
+                               lambda v, i, j, kk, *_: (v, kk, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -699,11 +595,9 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
 def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                abc: jax.Array, *, half_wnd: int,
                                max_dis: int, gamma: float, th: int = 64,
-                               tw: int = 128, slab: int = 32,
+                               tw: int = 128,
                                wnd_stride: int = 1,
-                               ybounds: jax.Array | None = None,
-                               dy_grid: bool = True,
-                               dx_unroll: bool | str = "auto") -> jax.Array:
+                               ybounds: jax.Array | None = None) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -719,9 +613,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     """
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
-                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw, slab=slab,
-                   wnd_stride=wnd_stride, ybounds=ybounds,
-                   dy_grid=dy_grid, dx_unroll=dx_unroll)
+                   max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
+                   wnd_stride=wnd_stride, ybounds=ybounds)
 
 
 def fly_sat_cost(alpha: float, tau_clr: float, tau_grd: float) -> float:
@@ -741,10 +634,8 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
                             alpha: float = 0.1, tau_clr: float = 10.0,
                             tau_grd: float = 2.0,
                             border_thres: float = 3.0, th: int = 64,
-                            tw: int = 128, slab: int = 32,
-                            wnd_stride: int = 1,
-                            dy_grid: bool = True,
-                            dx_unroll: bool | str = "auto") -> jax.Array:
+                            tw: int = 128,
+                            wnd_stride: int = 1) -> jax.Array:
     """Fused on-the-fly GRD window plane cost (no HBM cost volume).
 
     Same window/ASW/lerp semantics as window_plane_cost_prepared over the
@@ -766,9 +657,7 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
               border_thres=border_thres)
     return _invoke(prep, maxc, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
-                   slab=slab, wnd_stride=wnd_stride,
-                   dy_grid=dy_grid, dx_unroll=dx_unroll,
-                   fly_params=fp)
+                   wnd_stride=wnd_stride, fly_params=fp)
 
 
 def prepare_cross_scale_fly(vd_imgs, *, half_wnd: int, max_dis: int,
@@ -791,9 +680,7 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
                                   tau_clr: float = 10.0,
                                   tau_grd: float = 2.0,
                                   border_thres: float = 3.0, th: int = 64,
-                                  tw: int = 128, slab: int = 32,
-                                  dy_grid: bool = True,
-                                  dx_unroll: bool | str = "auto") -> jax.Array:
+                                  tw: int = 128) -> jax.Array:
     """Cross-scale on-the-fly aggregated plane cost (fused kernel per
     level, no HBM volumes) -- the TPU-native CSPC (cspc.cc:107-182
     capability; window/lerp semantics follow the Pre* window cost like
@@ -808,8 +695,7 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
     for s, prep in enumerate(preps):
         cost_s = _invoke(prep, maxc, params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw,
-                         slab=slab, dy_grid=dy_grid,
-                         dx_unroll=dx_unroll, fly_params=fp)
+                         fly_params=fp)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2
@@ -817,17 +703,16 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "half_wnd", "max_dis", "gamma", "th", "tw", "slab"))
+    "half_wnd", "max_dis", "gamma", "th", "tw"))
 def fly_plane_cost_pallas(imgs_u8: jax.Array, abc: jax.Array, *,
                           half_wnd: int, max_dis: int, gamma: float,
-                          th: int = 64, tw: int = 128,
-                          slab: int = 32) -> jax.Array:
+                          th: int = 64, tw: int = 128) -> jax.Array:
     """One-shot convenience wrapper: prepare + evaluate (used by tests)."""
     prep = prepare_fly(imgs_u8, half_wnd=half_wnd, max_dis=max_dis,
                        th=th, tw=tw)
     return fly_plane_cost_prepared(prep, abc, half_wnd=half_wnd,
                                    max_dis=max_dis, gamma=gamma, th=th,
-                                   tw=tw, slab=slab)
+                                   tw=tw)
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
@@ -845,10 +730,8 @@ def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
 def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
                                     abc: jax.Array, *, half_wnd: int,
                                     max_dis: int, gamma: float, th: int = 64,
-                                    tw: int = 128, slab: int = 32,
-                                    ybounds_s=None,
-                                    dy_grid: bool = True,
-                                    dx_unroll: bool | str = "auto") -> jax.Array:
+                                    tw: int = 128,
+                                    ybounds_s=None) -> jax.Array:
     """Cross-scale aggregated plane cost, fused kernel per level.
 
     sum_s wgt_s * cost_s with the plane re-anchored through the level-s
@@ -872,9 +755,8 @@ def cross_scale_plane_cost_prepared(preps, max_costs_s, scale_wgts,
     for s, prep in enumerate(preps):
         yb = None if ybounds_s is None else ybounds_s[s]
         cost_s = _invoke(prep, max_costs_s[s], params, half_wnd=half_wnd,
-                         max_dis_s=md, gamma=gamma, th=th, tw=tw, slab=slab,
-                         ybounds=yb, dy_grid=dy_grid,
-                         dx_unroll=dx_unroll)
+                         max_dis_s=md, gamma=gamma, th=th, tw=tw,
+                         ybounds=yb)
         term = jnp.float32(scale_wgts[s]) * cost_s
         total = term if total is None else total + term
         md //= 2

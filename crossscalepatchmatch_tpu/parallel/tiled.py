@@ -338,23 +338,19 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                 return cross_scale_plane_cost_prepared(
                     preps, mcs, wgts, abc2, half_wnd=hw,
                     max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                    ybounds_s=ybounds_s, slab=cfg.pallas_slab,
-                    dx_unroll=cfg.pallas_dx_unroll)
+                    ybounds_s=ybounds_s,)
         else:
             def cost_fn(abc2: jax.Array) -> jax.Array:
                 return window_plane_cost_prepared(
                     prep0, max_cost, abc2, half_wnd=hw,
-                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0,
-                    slab=cfg.pallas_slab,
-                    dx_unroll=cfg.pallas_dx_unroll)
+                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma, ybounds=yb0,)
 
             if cfg.prescreen_stride > 1 and sparse_fn is None:
                 def sparse_fn(abc2: jax.Array) -> jax.Array:
                     return window_plane_cost_prepared(
                         prep0, max_cost, abc2, half_wnd=hw,
                         max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
-                        ybounds=yb0, slab=cfg.pallas_slab,
-                        dx_unroll=cfg.pallas_dx_unroll,
+                        ybounds=yb0,
                         wnd_stride=cfg.prescreen_stride)
     else:
         if cfg.use_cs and jax.default_backend() == "tpu":

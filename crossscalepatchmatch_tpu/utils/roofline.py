@@ -144,16 +144,16 @@ def count_plane_cost_work(cfg: CSPMConfig) -> Dict[str, float]:
 def pipeline_flops(cfg: CSPMConfig, h: int, w: int) -> Dict[str, float]:
     """Semantic/executed flop totals for one stereo pair.
 
-    executed_* bounds use the kernel's contraction depth: `slab` slices
-    when the disparity-slab fast path hits, dpad = roundup(max_dis+1, 8)
-    when it falls back -- the true value lies between `executed_slab`
-    and `executed_full` (hit rate is data-dependent).
+    `executed` uses the kernel's contraction depth dpad =
+    roundup(max_dis+1, 8): the round-4 kernel always contracts the full
+    padded depth (every data-sparse alternative measured slower on
+    hardware, see ops.pallas.window_cost and BASELINE.md), so executed
+    work is exact, not a hit-rate range.
     """
     counts = count_plane_cost_work(cfg)
     px = h * w * 2   # both views
     d = cfg.max_dis + 1
     dpad = _round_up(d, 8)
-    slab = cfg.pallas_slab if 0 < cfg.pallas_slab < dpad else dpad
     sem = counts["ocu"] * px * SEMANTIC_OPS_PER_SAMPLE \
         + counts["exps"] * px * WEIGHT_OPS_PER_OFFSET
     # quadrant-volume prescreen (prescreen_mode="volume"): 4 tent
@@ -163,10 +163,8 @@ def pipeline_flops(cfg: CSPMConfig, h: int, w: int) -> Dict[str, float]:
     build = counts["build_offs"] * px * (2 * d + WEIGHT_OPS_PER_OFFSET)
     return {
         "semantic_flops": sem,
-        "executed_slab": (counts["ocu"] * px * TENT_OPS_PER_SLICE * slab
-                          + rank + build),
-        "executed_full": (counts["ocu"] * px * TENT_OPS_PER_SLICE * dpad
-                          + rank + build),
+        "executed": (counts["ocu"] * px * TENT_OPS_PER_SLICE * dpad
+                     + rank + build),
         "transcendentals": (counts["exps"] + counts["build_offs"]) * px,
         "kernel_launches": counts["launches"],
         # HBM bytes per launch: the halo'd volume + image tiles the kernel

@@ -1,6 +1,7 @@
 """Checkpoint/resume: a killed run must resume bit-exactly."""
 
 import numpy as np
+import pytest
 
 from crossscalepatchmatch_tpu import CSPMConfig
 from crossscalepatchmatch_tpu.checkpoint import (load_state,
@@ -14,6 +15,7 @@ def _cfg():
                       use_pp=True)
 
 
+@pytest.mark.slow
 def test_resume_is_bit_exact(tmp_path):
     pair = make_pair(h=40, w=56, max_dis=8, seed=2)
     cfg = _cfg()
@@ -103,6 +105,7 @@ def test_stale_checkpoint_rejected(tmp_path):
     assert st is not None and st[1] == cfg.max_iter
 
 
+@pytest.mark.slow
 def test_sharded_resume_bit_exact(tmp_path):
     """Sharded checkpoint/resume on the virtual 8-device mesh: a run
     interrupted after iteration 1 and resumed from its process-local

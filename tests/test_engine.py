@@ -130,6 +130,7 @@ class TestEndToEnd:
         with pytest.raises(ValueError):
             small_cfg(adopt_mode="fastest")
 
+    @pytest.mark.slow
     def test_deferred_cost_entry_matches_refresh(self):
         """The deferred-cost entry (held cost invalidated to +inf, current
         plane prepended to the first exact sweep) must reproduce the

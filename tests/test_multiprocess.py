@@ -94,6 +94,7 @@ print("worker", pid, "ok", flush=True)
 """
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(sys.platform != "linux", reason="linux only")
 def test_two_process_matches_single_process(tmp_path):
     # free port for the coordination service

@@ -88,7 +88,8 @@ def test_grd_fly_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("use_cs", [False, True])
+@pytest.mark.parametrize("use_cs", [
+    False, pytest.param(True, marks=pytest.mark.slow)])
 def test_fly_pipeline_solves_scene(use_cs):
     pair = make_pair(h=64, w=96, max_dis=12, seed=7)
     cfg = CSPMConfig(max_dis=12, dis_scale=16, wnd_size=15,

@@ -43,26 +43,25 @@ def test_kernel_matches_jnp_interpret(k):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_kernel_slab_path_matches_jnp_interpret():
-    """Disparity-slab fast path: D large enough to enable the slab, with a
-    smooth candidate (takes the slab branch) and a wild candidate (falls
-    back to the full contraction) in the same batch."""
+def test_kernel_deep_volume_matches_jnp_interpret():
+    """Deep volume (D=40), a smooth narrow-band candidate and a wild
+    whole-volume candidate in the same batch."""
     h, w, d, wnd = 16, 40, 40, 5
     key = jax.random.PRNGKey(7)
     k1, k2, k3 = jax.random.split(key, 3)
     imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
     vols = jax.random.uniform(k2, (2, h, w, d + 1), jnp.float32)
     mc = jnp.max(vols, axis=(1, 2, 3))
-    # candidate 0: near-fronto planes in a narrow disparity band (slab fits)
+    # candidate 0: near-fronto planes in a narrow disparity band
     ab0 = jax.random.uniform(k3, (2, 1, h, w, 2), jnp.float32, -0.05, 0.05)
     dc0 = jax.random.uniform(k3, (2, 1, h, w), jnp.float32, 20.0, 24.0)
-    # candidate 1: arbitrary planes spanning the whole volume (slab misses)
+    # candidate 1: arbitrary planes spanning the whole volume
     ab1 = jax.random.uniform(k2, (2, 1, h, w, 2), jnp.float32, -1, 1)
     dc1 = jax.random.uniform(k2, (2, 1, h, w), jnp.float32, 0, d)
     xs = jnp.arange(w, dtype=jnp.float32)
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    for ab, dc in [(ab0, dc0),                          # pure fast path
-                   (jnp.concatenate([ab0, ab1], axis=1),  # forces fallback
+    for ab, dc in [(ab0, dc0),
+                   (jnp.concatenate([ab0, ab1], axis=1),
                     jnp.concatenate([dc0, dc1], axis=1))]:
         c = dc - ab[..., 0] * xs - ab[..., 1] * ys
         abc = jnp.concatenate([ab, c[..., None]], axis=-1)
@@ -77,12 +76,10 @@ def test_kernel_slab_path_matches_jnp_interpret():
                                    rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("dx_unroll", [True, False])
-def test_kernel_dx_modes_slanted_matches_jnp_interpret(dx_unroll):
+def test_kernel_slanted_plus_wild_matches_jnp_interpret():
     """A converged SLANTED field (dq spans ~a*width disparities across the
-    tile, so the slab bound mostly falls back to the full contraction)
-    with a wild candidate mixed in, under both dx modes (static unroll /
-    fori + dynamic rolls)."""
+    tile) with a wild whole-volume candidate mixed in -- the two field
+    regimes the optimizer actually feeds the kernel."""
     h, w, d, wnd = 24, 96, 32, 5
     key = jax.random.PRNGKey(11)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -114,7 +111,7 @@ def test_kernel_dx_modes_slanted_matches_jnp_interpret(dx_unroll):
         prep = prepare_volumes(imgs, vols, half_wnd=wnd // 2, th=8, tw=128)
         got = window_plane_cost_prepared(
             prep, mc, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
-            th=8, tw=128, slab=8, dx_unroll=dx_unroll)
+            th=8, tw=128)
     want = jax.vmap(lambda i, v, m, a: window_plane_cost(
         i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
             imgs, vols, mc, abc)
@@ -229,9 +226,10 @@ def test_fly_kernel_matches_volume_path_interpret():
                                rtol=1e-5, atol=1e-4)
 
 
-def test_fly_cross_scale_and_slab_interpret():
-    """Cross-scale fly (per-level VMEM volumes) + disparity-slab fast
-    path of the fly kernel."""
+@pytest.mark.slow
+def test_fly_cross_scale_and_deep_volume_interpret():
+    """Cross-scale fly (per-level VMEM volumes) + deep-volume fly
+    kernel."""
     from crossscalepatchmatch_tpu.ops.color import bgr_to_rgb
     from crossscalepatchmatch_tpu.ops.grad_cost import grd_cost_volume
     from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
@@ -285,7 +283,7 @@ def test_fly_cross_scale_and_slab_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-4)
 
-    # slab path: one smooth candidate (slab hits) + one wild (fallback)
+    # deep volume: one smooth candidate + one wild whole-volume candidate
     h2, w2, d2 = 16, 40, 40
     imgs2 = jax.random.randint(k1, (2, h2, w2, 3), 0, 255, jnp.uint8)
     lr2 = bgr_to_rgb(imgs2[0]).astype(jnp.float32)
@@ -306,8 +304,7 @@ def test_fly_cross_scale_and_slab_interpret():
     abc2 = jnp.concatenate([ab2, c2[..., None]], axis=-1)
     with pltpu.force_tpu_interpret_mode():
         got2 = fly_plane_cost_pallas(imgs2, abc2, half_wnd=wnd // 2,
-                                     max_dis=d2, gamma=10.0, th=8, tw=128,
-                                     slab=16)
+                                     max_dis=d2, gamma=10.0, th=8, tw=128)
     want2 = jax.vmap(lambda i, v, m, a: window_plane_cost(
         i, v, m, a, half_wnd=wnd // 2, max_dis=d2, gamma=10.0))(
             imgs2, vol2, mc2, abc2)

@@ -214,6 +214,27 @@ class TestShardedPipeline:
         bad_s = bad_pixel_rate(disp_s, pair.disp_left, pair.valid_left, 1.0)
         assert bad < max(2.0 * bad_s, 0.12), (bad, bad_s)
 
+    @pytest.mark.slow
+    def test_production_geometry_sharded(self):
+        """PRODUCTION window/disparity geometry on the 8-device mesh:
+        wnd=35 (17-px halos), max_dis=60, max_iter=2 -- with 16-row
+        bands the halo EXCEEDS the block height, so every exchange is
+        multi-hop and the halo-vs-tile interactions the toy-geometry
+        tests never reach (SURVEY.md section 7.8) actually bite.  Slow
+        (wnd=35 jnp window costs on CPU); quality must match the
+        single-device threshold."""
+        pair = make_pair(h=128, w=128, max_dis=60, seed=11)
+        cfg = small_cfg(wnd_size=35, max_dis=60, dis_scale=4)
+        mesh = make_mesh(1, 8)   # 16-row bands < 17-px halo: multi-hop
+        run = jit_run_batch_sharded(cfg, mesh)
+        dis = np.asarray(run(jnp.asarray(pair.left)[None],
+                             jnp.asarray(pair.right)[None],
+                             jnp.zeros((1,), jnp.int32)))
+        assert dis.shape == (1, 2, 128, 128)
+        disp = dis[0, 0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.15, f"production-geometry bad rate: {bad:.3f}"
+
     def test_rejects_unsupported_configs(self):
         # the on-the-fly cost has no halo form: spatial sharding rejects
         mesh = make_mesh(1, 8)

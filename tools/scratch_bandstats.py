@@ -55,8 +55,7 @@ def dump():
     fields["converged"] = np.asarray(out["abc"])
     # mid-optimization field: after the rank iteration only (what the
     # first exact sweep sees after the rank->exact switch)
-    cfg_rank = CSPMConfig(**base, max_iter=1, adopt_mode="rank",
-                          exact_iters=0)
+    cfg_rank = CSPMConfig(**base, max_iter=1, adopt_mode="rank")
     out = run_pair(l, r, jnp.int32(0), cfg_rank)
     fields["after_rank"] = np.asarray(out["abc"])
     np.savez(NPZ, **fields)
