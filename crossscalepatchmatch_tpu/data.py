@@ -55,13 +55,64 @@ def _smooth_noise(rng: np.random.Generator, h: int, w: int,
     return (out - out.min()) / max(float(np.ptp(out)), 1e-6)
 
 
+def load_host_photo() -> np.ndarray | None:
+    """A real photograph available on this host, as u8[H, W, 3] BGR.
+
+    Real Middlebury/KITTI pairs cannot be redistributed here and the
+    build host has no egress, but matplotlib ships a real photograph
+    (grace_hopper.jpg) whose texture statistics -- natural spectra,
+    edges, camera grain -- are what procedural value-noise lacks.  Used
+    as a texture source for photo-textured ground-truth scenes
+    (make_pair(textures=photo_textures(...))).  Returns None when
+    matplotlib isn't available.
+    """
+    try:
+        import os
+
+        import matplotlib
+        from PIL import Image
+
+        p = os.path.join(matplotlib.get_data_path(), "sample_data",
+                         "grace_hopper.jpg")
+        rgb = np.asarray(Image.open(p).convert("RGB"))
+        return rgb[..., ::-1].copy()          # BGR like the engine's I/O
+    except Exception:
+        return None
+
+
+def photo_textures(photo_bgr: np.ndarray, n: int, h: int, tex_w: int,
+                   rng: np.random.Generator) -> list:
+    """n layer textures of shape [h, tex_w, 3] cropped from a real photo.
+
+    Crops random regions (mirror-tiled when the photo is smaller than
+    the requested texture), one per scene layer, so every layer carries
+    real photographic texture while the scene geometry stays exact
+    synthetic ground truth.
+    """
+    ph, pw, _ = photo_bgr.shape
+    # mirror-tile so any crop size is available
+    reps_y = -(-max(h, ph) * 2 // ph)
+    reps_x = -(-max(tex_w, pw) * 2 // pw)
+    tiled = np.tile(np.concatenate(
+        [photo_bgr, photo_bgr[:, ::-1]], axis=1), (reps_y, reps_x // 2 + 1, 1))
+    tiled = np.concatenate([tiled, tiled[::-1]], axis=0)
+    th, tw_ = tiled.shape[:2]
+    out = []
+    for _ in range(n):
+        y0 = int(rng.integers(0, max(th - h, 1)))
+        x0 = int(rng.integers(0, max(tw_ - tex_w, 1)))
+        out.append(tiled[y0:y0 + h, x0:x0 + tex_w].astype(np.float32))
+    return out
+
+
 def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
               seed: int = 0, slanted: bool = True, n_fg: int = 2,
               texture_contrast: float = 1.0,
               noise_sigma: float = 1.0,
               exposure_gain: float = 1.0,
               exposure_bias: float = 0.0,
-              rect_jitter: float = 0.0) -> StereoPair:
+              rect_jitter: float = 0.0,
+              textures: list | None = None) -> StereoPair:
     """Layered synthetic scene: background plane + n_fg foreground objects.
 
     Disparities stay within [1, max_dis - 1] so every non-occluded pixel is
@@ -85,6 +136,9 @@ def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
         view is resampled at y + jitter(x) with a smooth (sinusoidal
         across x) sub-pixel offset, while the ground truth keeps the
         ideal epipolar geometry -- models imperfect calibration.
+      textures: optional per-layer textures, each f32[h, w + max_dis + 4, 3]
+        (photo_textures provides real-photograph crops); None keeps the
+        procedural multi-octave value noise.
     """
     rng = np.random.default_rng(seed)
     tex_w = w + max_dis + 4
@@ -122,9 +176,16 @@ def make_pair(h: int = 96, w: int = 128, max_dis: int = 16,
 
     # --- per-layer textures (layers carry their own texture) --------------
     def layer_tex(k):
-        base = np.stack([_smooth_noise(rng, h, tex_w) for _ in range(3)], -1)
-        tint = rng.uniform(0.4, 1.0, (1, 1, 3))
-        tex = np.clip(base * tint * 255.0, 0, 255)
+        if textures is not None:
+            tex = np.asarray(textures[k % len(textures)], np.float32)
+            assert tex.shape[0] >= h and tex.shape[1] >= tex_w, (
+                f"texture {tex.shape} smaller than ({h}, {tex_w})")
+            tex = tex[:h, :tex_w]
+        else:
+            base = np.stack([_smooth_noise(rng, h, tex_w)
+                             for _ in range(3)], -1)
+            tint = rng.uniform(0.4, 1.0, (1, 1, 3))
+            tex = np.clip(base * tint * 255.0, 0, 255)
         if texture_contrast != 1.0:
             tex = np.clip(tex.mean()
                           + (tex - tex.mean()) * texture_contrast, 0, 255)

@@ -55,6 +55,13 @@ CONFIGS = [
      {"exposure_gain": 1.15, "exposure_bias": 6.0}),
     ("rectjitter_cen_pp", 192, 256, 20, 8, "CEN", False, True,
      {"rect_jitter": 0.5}),
+    # Real-photograph texture (grace_hopper.jpg via data.load_host_photo):
+    # natural texture spectra / edges / camera grain with exact synthetic
+    # GT geometry -- the closest this egress-less host gets to real pairs.
+    ("photo_cen_pp", 192, 256, 20, 8, "CEN", False, True,
+     {"photo": True}),
+    ("photo_grd", 192, 256, 16, 8, "GRD", False, False,
+     {"photo": True}),
 ]
 QUICK = CONFIGS[:2]
 
@@ -119,8 +126,20 @@ def main():
          scene_kw) in todo:
         # stable per-config seed (str hash is salted per interpreter run)
         import zlib
-        pair = make_pair(h=h, w=w, max_dis=max_dis,
-                         seed=zlib.crc32(name.encode()) % 1000, **scene_kw)
+        cseed = zlib.crc32(name.encode()) % 1000
+        scene_kw = dict(scene_kw)
+        if scene_kw.pop("photo", False):
+            from crossscalepatchmatch_tpu.data import (load_host_photo,
+                                                       photo_textures)
+            photo = load_host_photo()
+            if photo is None:
+                print(f"{name}: skipped (no host photo available)",
+                      file=sys.stderr)
+                continue
+            scene_kw["textures"] = photo_textures(
+                photo, 5, h, w + max_dis + 4,
+                np.random.default_rng(cseed))
+        pair = make_pair(h=h, w=w, max_dis=max_dis, seed=cseed, **scene_kw)
         scale_num = 3 if use_cs else 5   # small scenes: 3 usable levels
         reg_lambda = 0.3 if use_cs else 0.0
 

@@ -29,6 +29,38 @@ def test_cli_roundtrip(tmp_path):
     assert bad < 0.15, bad
 
 
+def test_cli_photo_textured_pair(tmp_path):
+    """CLI smoke test on a REAL-photograph-textured pair (the closest an
+    egress-less host gets to the reference's Middlebury smoke runs):
+    grace_hopper.jpg crops as layer textures over exact GT geometry."""
+    import pytest
+
+    from crossscalepatchmatch_tpu.data import load_host_photo, photo_textures
+
+    photo = load_host_photo()
+    if photo is None:
+        pytest.skip("no host photo available")
+    h, w, md = 64, 96, 12
+    texs = photo_textures(photo, 4, h, w + md + 4,
+                          np.random.default_rng(5))
+    pair = make_pair(h=h, w=w, max_dis=md, seed=3, textures=texs)
+    lp, rp = tmp_path / "l.png", tmp_path / "r.png"
+    lo, ro = tmp_path / "ld.png", tmp_path / "rd.png"
+    cspm_io.write_bgr(str(lp), pair.left)
+    cspm_io.write_bgr(str(rp), pair.right)
+    rc = main(["--l_img_file", str(lp), "--r_img_file", str(rp),
+               "--l_dis_file", str(lo), "--r_dis_file", str(ro),
+               "--max_dis", "12", "--dis_scale", "16", "--cc_name", "CEN",
+               "--use_cs", "false", "--use_pp", "true",
+               "--wnd_size", "15", "--reg_lambda", "0.0"])
+    assert rc == 0
+    from PIL import Image
+    dis = np.asarray(Image.open(lo))
+    bad = bad_pixel_rate(dis.astype(np.float32) / 16.0, pair.disp_left,
+                         pair.valid_left)
+    assert bad < 0.15, bad
+
+
 def test_cli_input_list(tmp_path):
     """Batch mode: a reference-style input.txt of flag lines runs every
     line in one process (CSPM/input.txt:1-20 format, incl. quoted values
