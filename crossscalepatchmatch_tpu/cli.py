@@ -77,6 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precompute_volume", type=_bool, default=True,
                    help="false = fused on-the-fly GRD kernel (no cost "
                         "volume in HBM)")
+    p.add_argument("--fly_lerp", choices=["cost", "image"], default="cost",
+                   help="sub-pixel mode of the fused on-the-fly kernel: "
+                        "'image' runs GrdPC/CSPC's literal image-space "
+                        "lerp (grd_pc.cc:149-171); 'cost' the faster "
+                        "Pre*-style cost-space lerp")
+    p.add_argument("--use_lab_weights", type=_bool, default=False,
+                   help="compute ASW weights on the CIE Lab conversion "
+                        "(the reference's USE_LAB_WGT variant, "
+                        "grd_pc.h:25 -- compiled off there)")
     p.add_argument("--input_list", default=None,
                    help="file of flag lines (the reference's input.txt "
                         "format); runs every line in one process so "
@@ -154,7 +163,9 @@ def _run_one(args) -> int:
             prescreen_mode=args.prescreen_mode,
             adopt_mode=args.adopt_mode, exact_iters=args.exact_iters,
             merge_view=args.merge_view,
-            precompute_volume=args.precompute_volume)
+            precompute_volume=args.precompute_volume,
+            fly_lerp=args.fly_lerp,
+            use_lab_weights=args.use_lab_weights)
         if args.profile_dir:
             import jax
             with jax.profiler.trace(args.profile_dir):

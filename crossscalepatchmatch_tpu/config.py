@@ -162,6 +162,18 @@ class CSPMConfig:
     # occlusion- and texture-stressed scenes).
     merge_view: bool = False
 
+    # Compute the adaptive-support weights on the CIE Lab conversion of
+    # each (pyramid-level) image instead of raw BGR -- the reference's
+    # USE_LAB_WGT variant (grd_pc.h:25, weight L1 over u8 Lab channels
+    # grd_pc.cc:80-110, per-level conversions cspc.cc:48-49).  Compiled
+    # OFF in the reference; exposed here as a capability.  The data term
+    # and post-processing stay BGR/gradient either way (the weighted
+    # median's LUT is BGR even under the reference's toggle).  Supported
+    # on the precomputed-volume paths and the literal jnp on-the-fly
+    # path; the fused no-volume fly kernel rejects it (its channel slab
+    # doubles as weight and data source).
+    use_lab_weights: bool = False
+
     # --- cost model constants ---------------------------------------------
     cost_alpha: float = 0.1     # color/gradient mixing weight
     tau_clr: float = 10.0       # color truncation
@@ -183,6 +195,22 @@ class CSPMConfig:
     # CPU/parity implementation (per-pixel warp gathers serialize on
     # XLA:TPU); production TPU runs use the precomputed path.
     precompute_volume: bool = True
+    # Sub-pixel interpolation mode of the FUSED on-the-fly kernel
+    # (precompute_volume=False + use_pallas):
+    #   "cost"  -- lerp in cost space like the Pre* classes
+    #              (pre_ss_pc.cc:99-111) applied to the VMEM-built GRD
+    #              volume; border pseudo-cost outside the image.  The
+    #              fast production form (element-exact vs the volume
+    #              kernel).
+    #   "image" -- GrdPC/CSPC's literal semantics (grd_pc.cc:149-171):
+    #              lerp the other view's CHANNELS at the sub-pixel warp
+    #              with C-trunc taps and HandleBorder column wrap, then
+    #              one TAD per window pixel.  Element-exact vs the jnp
+    #              grd_fly_cost/cs_fly_cost literal path; ~2-4x slower
+    #              per evaluation (4 channel contractions instead of 1
+    #              cost contraction).
+    # Ignored when precompute_volume=True.
+    fly_lerp: str = "cost"
 
     # --- numerics / runtime ------------------------------------------------
     seed: int = 0
@@ -212,6 +240,10 @@ class CSPMConfig:
             raise ValueError(
                 "aggregation filters need a precomputed volume to filter "
                 "(ca_method.h operates on volume slices)")
+        if self.fly_lerp not in ("cost", "image"):
+            raise ValueError(
+                f"fly_lerp must be 'cost' or 'image', got "
+                f"{self.fly_lerp!r}")
         if self.prescreen_mode not in ("window", "volume"):
             raise ValueError(
                 f"prescreen_mode must be 'window' or 'volume', got "

@@ -64,6 +64,7 @@ def make_fly_cost_fn(cfg: CSPMConfig, l_bgr_u8: jax.Array,
     Covers the reference's query-time IPlaneCost family
     (plane_cost/grd_pc.cc, plane_cost/cspc.cc).
     """
+    from ..ops.color import bgr_to_lab_u8
     from ..ops.onthefly_cost import cs_fly_cost, grd_fly_cost, gray_gradient
     from ..ops.pyramid import build_pyramid
 
@@ -72,6 +73,12 @@ def make_fly_cost_fn(cfg: CSPMConfig, l_bgr_u8: jax.Array,
     r_pyr = build_pyramid(r_bgr_u8, levels)
     l_grd = [gray_gradient(im) for im in l_pyr]
     r_grd = [gray_gradient(im) for im in r_pyr]
+    # USE_LAB_WGT capability (grd_pc.cc:31-35, cspc.cc:48-49): ASW weights
+    # on the per-level Lab conversions; data term stays BGR/gradient
+    l_wgt = ([bgr_to_lab_u8(im) for im in l_pyr]
+             if cfg.use_lab_weights else None)
+    r_wgt = ([bgr_to_lab_u8(im) for im in r_pyr]
+             if cfg.use_lab_weights else None)
     kw = dict(half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
               gamma=cfg.wgt_gamma, alpha=cfg.cost_alpha,
               tau_clr=cfg.tau_clr, tau_grd=cfg.tau_grd)
@@ -82,16 +89,20 @@ def make_fly_cost_fn(cfg: CSPMConfig, l_bgr_u8: jax.Array,
 
         def cost_fn(abc2: jax.Array) -> jax.Array:
             cl = cs_fly_cost(l_pyr, r_pyr, l_grd, r_grd, wgts, abc2[0],
-                             sign=-1, **kw)
+                             sign=-1, pyr_wgt_ref=l_wgt, **kw)
             cr = cs_fly_cost(r_pyr, l_pyr, r_grd, l_grd, wgts, abc2[1],
-                             sign=+1, **kw)
+                             sign=+1, pyr_wgt_ref=r_wgt, **kw)
             return jnp.stack([cl, cr])
     else:
         def cost_fn(abc2: jax.Array) -> jax.Array:
             cl = grd_fly_cost(l_pyr[0], r_pyr[0], l_grd[0], r_grd[0],
-                              abc2[0], sign=-1, **kw)
+                              abc2[0], sign=-1,
+                              ref_wgt=None if l_wgt is None else l_wgt[0],
+                              **kw)
             cr = grd_fly_cost(r_pyr[0], l_pyr[0], r_grd[0], l_grd[0],
-                              abc2[1], sign=+1, **kw)
+                              abc2[1], sign=+1,
+                              ref_wgt=None if r_wgt is None else r_wgt[0],
+                              **kw)
             return jnp.stack([cl, cr])
 
     return cost_fn
@@ -110,11 +121,14 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
     (plus the 4x larger quadrant ranking volumes, which also cannot
     exist without a volume).
 
-    Semantics note: window aggregation and sub-slice lerp follow the
-    Pre* window cost (cost-space lerp, border pseudo-cost) applied to
-    GRD -- element-exact vs window_plane_cost over grd_cost_volume; the
-    jnp make_fly_cost_fn keeps GrdPC's literal image-space lerp + wrap
-    borders for reference parity (see ops.onthefly_cost).
+    Semantics note: with cfg.fly_lerp == "cost" (default) window
+    aggregation and sub-slice lerp follow the Pre* window cost
+    (cost-space lerp, border pseudo-cost) applied to GRD --
+    element-exact vs window_plane_cost over grd_cost_volume;
+    cfg.fly_lerp == "image" runs GrdPC/CSPC's literal image-space lerp
+    + wrap borders in the kernel itself (element-exact vs the jnp
+    make_fly_cost_fn literal path, which remains the CPU authority --
+    see ops.onthefly_cost and the kernel's image_lerp branch).
 
     Returns (cost_fn, sparse_fn): sparse_fn is the strided-window
     prescreen (single-scale only; the quadrant prescreen needs a
@@ -126,6 +140,12 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
                                           prepare_fly)
     from ..ops.pyramid import build_pyramid
 
+    if cfg.use_lab_weights:
+        raise ValueError(
+            "use_lab_weights is not supported on the fused no-volume fly "
+            "kernel (its channel slab feeds both the ASW weights and the "
+            "data term); use precompute_volume=True or the literal jnp "
+            "on-the-fly path (use_pallas=False)")
     kw = dict(half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
               gamma=cfg.wgt_gamma, alpha=cfg.cost_alpha,
               tau_clr=cfg.tau_clr, tau_grd=cfg.tau_grd,
@@ -136,7 +156,8 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
         r_pyr = build_pyramid(r_bgr_u8, levels)
         imgs = [jnp.stack([l_pyr[s], r_pyr[s]]) for s in range(levels)]
         preps = prepare_cross_scale_fly(imgs, half_wnd=cfg.half_wnd,
-                                        max_dis=cfg.max_dis)
+                                        max_dis=cfg.max_dis,
+                                        lerp=cfg.fly_lerp)
         wgts = tuple(float(x) for x in
                      scale_weights(cfg.scale_num, cfg.reg_lambda))
 
@@ -146,7 +167,8 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
         return cost_fn, None
 
     prep = prepare_fly(jnp.stack([l_bgr_u8, r_bgr_u8]),
-                       half_wnd=cfg.half_wnd, max_dis=cfg.max_dis)
+                       half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
+                       lerp=cfg.fly_lerp)
 
     def kernel_fn(abc2: jax.Array, stride: int) -> jax.Array:
         return fly_plane_cost_prepared(prep, abc2, wnd_stride=stride, **kw)
@@ -173,7 +195,7 @@ def _volume_sparse_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
     build = functools.partial(build_quadrant_volumes,
                               half_wnd=cfg.half_wnd, gamma=cfg.wgt_gamma,
                               stride=max(cfg.prescreen_stride, 1))
-    bq, wq = jax.vmap(build)(vd.imgs[0], vd.vols[0])
+    bq, wq = jax.vmap(build)(vd.weight_imgs[0], vd.vols[0])
     max_costs = vd.max_costs[0]
     rank = functools.partial(quadrant_prescreen_cost,
                              half_wnd=cfg.half_wnd, max_dis=cfg.max_dis)
@@ -206,7 +228,9 @@ def make_cost_fns(cfg: CSPMConfig,
     if _pallas_enabled(cfg) and not cfg.use_cs:
         from ..ops.pallas.window_cost import (prepare_volumes,
                                               window_plane_cost_prepared)
-        prep = prepare_volumes(vd.imgs[0], vd.vols[0],
+        # the kernel's image input feeds only the ASW weights, so the
+        # Lab-weight variant is purely a data change here
+        prep = prepare_volumes(vd.weight_imgs[0], vd.vols[0],
                                half_wnd=cfg.half_wnd)
         max_costs = vd.max_costs[0]
 
@@ -227,7 +251,8 @@ def make_cost_fns(cfg: CSPMConfig,
     if _pallas_enabled(cfg) and cfg.use_cs:
         from ..ops.pallas.window_cost import (
             cross_scale_plane_cost_prepared, prepare_cross_scale)
-        preps = prepare_cross_scale(vd.imgs, vd.vols, half_wnd=cfg.half_wnd)
+        preps = prepare_cross_scale(vd.weight_imgs, vd.vols,
+                                    half_wnd=cfg.half_wnd)
         wgts = tuple(float(x) for x in
                      scale_weights(cfg.scale_num, cfg.reg_lambda))
         max_costs_s = vd.max_costs
@@ -259,11 +284,11 @@ def make_cost_fns(cfg: CSPMConfig,
 
         def cost_fn(abc2: jax.Array) -> jax.Array:
             return jax.vmap(eval_view, in_axes=(0, 0, 0, 0))(
-                vd.imgs, vd.vols, vd.max_costs, abc2)
+                vd.weight_imgs, vd.vols, vd.max_costs, abc2)
 
         return cost_fn, (_volume_sparse_fn(cfg, vd) if volume_mode
                          else None)
-    img, vol, mc = vd.imgs[0], vd.vols[0], vd.max_costs[0]
+    img, vol, mc = vd.weight_imgs[0], vd.vols[0], vd.max_costs[0]
 
     def jnp_fn(abc2: jax.Array, stride: int) -> jax.Array:
         fn = functools.partial(window_plane_cost, half_wnd=cfg.half_wnd,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..config import Aggregator, CostMethod, CSPMConfig
 from .census import census_cost_volume
-from .color import bgr_to_rgb, rgb_to_gray_u8
+from .color import bgr_to_lab_u8, bgr_to_rgb, rgb_to_gray_u8
 from .grad_cost import grd_cost_volume
 from .pyramid import build_pyramid
 
@@ -30,11 +30,22 @@ class VolumeData:
     imgs[s]: u8[2, Hs, Ws, 3] per-view level-s images (original channel order)
     vols[s]: f32[2, Hs, Ws, Ds] per-view level-s cost volumes
     max_costs[s]: f32[2] per-view saturation values
+    wimgs[s]: optional per-view level-s ASW weight images (the Lab
+      conversions when cfg.use_lab_weights, the USE_LAB_WGT capability of
+      grd_pc.h:25); None means weights use imgs (the reference's active
+      BGR path).  Post-processing always reads imgs -- the weighted
+      median's LUT is BGR even in the reference's Lab variant
+      (cs_patchmatch.cc:434-437).
     """
 
     imgs: List[jax.Array]
     vols: List[jax.Array]
     max_costs: List[jax.Array]
+    wimgs: List[jax.Array] | None = None
+
+    @property
+    def weight_imgs(self) -> List[jax.Array]:
+        return self.imgs if self.wimgs is None else self.wimgs
 
 
 # Registered as a pytree so a built VolumeData can cross jit boundaries
@@ -42,7 +53,7 @@ class VolumeData:
 # every per-iteration step call).
 jax.tree_util.register_pytree_node(
     VolumeData,
-    lambda v: ((v.imgs, v.vols, v.max_costs), None),
+    lambda v: ((v.imgs, v.vols, v.max_costs, v.wimgs), None),
     lambda _, ch: VolumeData(*ch))
 
 
@@ -100,6 +111,7 @@ def build_volume_data(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array,
     l_pyr = build_pyramid(l_bgr_u8, levels)
     r_pyr = build_pyramid(r_bgr_u8, levels)
     imgs, vols, max_costs = [], [], []
+    wimgs = [] if cfg.use_lab_weights else None
     md = cfg.max_dis
     for s in range(levels):
         l_rgb = bgr_to_rgb(l_pyr[s])
@@ -111,5 +123,9 @@ def build_volume_data(l_bgr_u8: jax.Array, r_bgr_u8: jax.Array,
         imgs.append(jnp.stack([l_pyr[s], r_pyr[s]]))
         vols.append(jnp.stack([vol_l, vol_r]))
         max_costs.append(jnp.stack([jnp.max(vol_l), jnp.max(vol_r)]))
+        if wimgs is not None:
+            # per-level Lab like CSPC's per-level conversion (cspc.cc:48-49)
+            wimgs.append(bgr_to_lab_u8(imgs[-1]))
         md //= 2
-    return VolumeData(imgs=imgs, vols=vols, max_costs=max_costs)
+    return VolumeData(imgs=imgs, vols=vols, max_costs=max_costs,
+                      wimgs=wimgs)

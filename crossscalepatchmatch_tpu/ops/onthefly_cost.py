@@ -94,7 +94,8 @@ def grd_fly_cost(ref_bgr: jax.Array, oth_bgr: jax.Array, ref_grd: jax.Array,
                  oth_grd: jax.Array, abc: jax.Array, *, sign: int,
                  half_wnd: int, max_dis: int, gamma: float,
                  alpha: float = 0.1, tau_clr: float = 10.0,
-                 tau_grd: float = 2.0) -> jax.Array:
+                 tau_grd: float = 2.0,
+                 ref_wgt: jax.Array | None = None) -> jax.Array:
     """Single-scale GrdPC cost for K candidate plane fields.
 
     Args:
@@ -102,6 +103,10 @@ def grd_fly_cost(ref_bgr: jax.Array, oth_bgr: jax.Array, ref_grd: jax.Array,
       ref_grd / oth_grd: f32[H, W] gray_gradient of each view.
       abc: f32[K, H, W, 3]; sign: -1 for the left view, +1 for the right
         (other_x = q_x + (2*view - 1)*dq, grd_pc.cc:149).
+      ref_wgt: optional u8[H, W, 3] image the ASW weights are computed
+        on instead of ref_bgr -- pass the Lab conversion for the
+        reference's USE_LAB_WGT variant (grd_pc.cc:80-110; the data term
+        stays BGR/gradient either way).
 
     Returns:
       f32[K, H, W].
@@ -109,7 +114,7 @@ def grd_fly_cost(ref_bgr: jax.Array, oth_bgr: jax.Array, ref_grd: jax.Array,
     h, w, _ = ref_bgr.shape
     k = abc.shape[0]
     wnd = 2 * half_wnd + 1
-    img_i32 = ref_bgr.astype(jnp.int32)
+    img_i32 = (ref_bgr if ref_wgt is None else ref_wgt).astype(jnp.int32)
     inv_gamma = jnp.float32(1.0 / gamma)
     sat = jnp.float32(alpha * tau_clr + (1.0 - alpha) * tau_grd)
 
@@ -156,7 +161,8 @@ def cs_fly_cost(pyr_bgr_ref: Sequence[jax.Array],
                 scale_wgts: Sequence[float], abc0: jax.Array, *, sign: int,
                 half_wnd: int, max_dis: int, gamma: float,
                 alpha: float = 0.1, tau_clr: float = 10.0,
-                tau_grd: float = 2.0) -> jax.Array:
+                tau_grd: float = 2.0,
+                pyr_wgt_ref: Sequence[jax.Array] | None = None) -> jax.Array:
     """Cross-scale on-the-fly cost (CSPC, cspc.cc:107-182).
 
     Level s > 0 re-anchors each fine pixel's plane through
@@ -164,6 +170,10 @@ def cs_fly_cost(pyr_bgr_ref: Sequence[jax.Array],
     level-s images, warping into the level-s other view; level costs sum
     with the inter-scale weights.  Uses the same upsample-with-margin
     trick as ops.plane_cost.window_plane_cost_upsampled.
+
+    pyr_wgt_ref: optional per-level u8[Hs, Ws, 3] weight images (the
+    per-level Lab conversions for USE_LAB_WGT, cspc.cc:48-49,185-195);
+    defaults to the BGR levels.
     """
     h, w, _ = pyr_bgr_ref[0].shape
     k = abc0.shape[0]
@@ -179,7 +189,9 @@ def cs_fly_cost(pyr_bgr_ref: Sequence[jax.Array],
                                   pyr_grd_ref[0], pyr_grd_oth[0], abc0,
                                   sign=sign, half_wnd=half_wnd, max_dis=md,
                                   gamma=gamma, alpha=alpha, tau_clr=tau_clr,
-                                  tau_grd=tau_grd)
+                                  tau_grd=tau_grd,
+                                  ref_wgt=(None if pyr_wgt_ref is None
+                                           else pyr_wgt_ref[0]))
         else:
             hs, ws = pyr_bgr_ref[s].shape[:2]
             step = 1 << s
@@ -187,7 +199,9 @@ def cs_fly_cost(pyr_bgr_ref: Sequence[jax.Array],
             img_up = upsample_level(pyr_bgr_ref[s], s, half_wnd, (h, w))
             grd_up = upsample_level(pyr_grd_ref[s], s, half_wnd, (h, w))
             valid_up = upsample_valid(s, half_wnd, (h, w), (hs, ws))
-            img_i32 = img_up.astype(jnp.int32)
+            wgt_up = (img_up if pyr_wgt_ref is None else
+                      upsample_level(pyr_wgt_ref[s], s, half_wnd, (h, w)))
+            img_i32 = wgt_up.astype(jnp.int32)
 
             ys_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
             xs_c = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)

@@ -45,6 +45,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _fly_build_image(v, oth_slab, chvol, *, dpad: int, scale: int,
+                     wt: int):
+    """Build the shifted-channel tile for the literal image-space-lerp
+    fly path: chvol[c, :, d, :] holds other-view channel c at level-s
+    column (x >> s) -+ d (left reads -d, right +d) for every tile lane x.
+
+    No cost math happens here -- the kernel contracts these raw channel
+    values with the per-pixel trunc-lerp taps (see _kernel), then applies
+    the TAD data term once per window pixel, reproducing GrdPC's
+    image-space sub-pixel interpolation (grd_pc.cc:149-171) instead of
+    the Pre* cost-space interpolation.  Column wrap (HandleBorder) is
+    baked into the slab by prepare_fly(lerp="image")'s periodic column
+    extension.
+    """
+    step = 1 << scale
+    slab_w = oth_slab.shape[2]
+    left = v == 0
+    for d in range(dpad):
+        off = jnp.where(left, dpad - 1 - d, dpad - 1 + d) * step
+        for c in range(4):
+            chvol[c, :, d, :] = pltpu.roll(oth_slab[c], slab_w - off,
+                                           1)[:, :wt]
+
+
 def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
                scale: int, mg: int, ws: int, alpha: float, tau_clr: float,
                tau_grd: float, border_thres: float):
@@ -181,6 +205,7 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     """
     img_tile, vol_tile, img_rot, sems = scratch[:4]
     oth_slab = scratch[4] if fly is not None else None
+    image_lerp = fly is not None and fly.get("lerp", "cost") == "image"
 
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
@@ -223,15 +248,24 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         cp_img.wait()
         cp_vol.wait()
         if fly is not None:
-            _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
-                       scale=scale, mg=mg, ws=ws, **fly)
+            if image_lerp:
+                _fly_build_image(v, oth_slab, vol_tile, dpad=dpad,
+                                 scale=scale, wt=wt)
+            else:
+                _fly_build(v, c0, img_tile, oth_slab, vol_tile, dpad=dpad,
+                           scale=scale, mg=mg, ws=ws,
+                           **{k_: v_ for k_, v_ in fly.items()
+                              if k_ != "lerp"})
 
     # Image rows at a traced sublane offset: Mosaic rejects dynamic memref
     # slices on a TILED dim unless the index is provably a multiple of the
     # (8,128) tiling -- and mg + sy is an arbitrary integer.
     # tpu.dynamic_rotate DOES support a traced shift on the sublane axis,
     # so roll the rows down by mg + sy once per (kk, dy) step.
-    img_rot[...] = pltpu.roll(img_tile[0:3], rows_t - (mg + sy), 1)
+    # (The literal image-lerp fly mode also rotates the gradient channel:
+    # its data term reads the window pixel's own gradient.)
+    img_rot[...] = pltpu.roll(img_tile[0:img_rot.shape[0]],
+                              rows_t - (mg + sy), 1)
 
     @pl.when(dyi == 0)
     def _zero():
@@ -263,9 +297,9 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     n_dx = len(range(o_start, hb + 1, wstride))
 
     # Accumulate all dx offsets with the dense tent contraction
-    # sum_d vol*max(0, 1-|dq-d|) over the dpad slices -- equal to the
-    # two-tap lerp at fractional disparity dq (pre_ss_pc.cc:99-111)
-    # because the tent has mass only at floor(dq)/ceil(dq).
+    # sum_d vol*max(0, 1-|dq-d|) over the dpad slices (or, for the
+    # literal image-lerp fly mode, a trunc-derived 2-delta contraction
+    # over shifted channel slices -- see the branch below).
     #
     # The dx offsets are a static unroll: a static unaligned lane slice
     # lowers to ONE shift stage per vreg, where a dynamic lane-rotate
@@ -273,14 +307,22 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     # K=1 launch at dpad=64, round 3).  wstride > 1 evaluates a
     # subsampled window (candidate prescreening); the strided grid starts
     # at -hb, matching ops.plane_cost.stride_start.
-    vol_b = vol_tile[pl.ds(mg + sy, th), :, :]
+    if image_lerp:
+        chv_b = vol_tile[:, pl.ds(mg + sy, th), :, :]
+        al = jnp.float32(fly["alpha"])
+        be = jnp.float32(1.0 - fly["alpha"])
+        t_clr = jnp.float32(fly["tau_clr"])
+        t_grd = jnp.float32(fly["tau_grd"])
+        inv3 = jnp.float32(1.0 / 3.0)
+        wsgn = jnp.where(v == 0, jnp.float32(-1.0), jnp.float32(1.0))
+    else:
+        vol_b = vol_tile[pl.ds(mg + sy, th), :, :]
     d_io = jax.lax.broadcasted_iota(
         jnp.int32, (th, dpad, tw), 1).astype(jnp.float32)
     for dxi in range(n_dx):
         dx = dxi * wstride + o_start
         off = (dx + hb) * step        # static lane offset
         q = [q_rows[p][:, off:off + tw] for p in range(3)]
-        vol_q = vol_b[:, :, off:off + tw]
         l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
               + jnp.abs(ctr[2] - q[2]))
         # window pixel must map to a real (level-s) image pixel
@@ -290,8 +332,41 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         dq = p0 + pa * jnp.float32(dx) + pb * dyf
         f = jnp.trunc(dq)
         in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
-        tent = jnp.maximum(0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
-        val = jnp.sum(vol_q * tent, axis=1)
+        if image_lerp:
+            # Literal GrdPC/CSPC data term (grd_pc.cc:149-171): warp the
+            # other view's channels to the sub-pixel correspondence
+            # other_x = (q_x >> s) -+ dq with the reference's C-trunc
+            # lerp -- trunc toward zero, NOT floor, reproduced exactly,
+            # including the extrapolating weights it yields at negative
+            # other_x -- then apply the TAD term once per window pixel.
+            # The two taps are a 2-delta contraction over the
+            # shifted-channel slices (the same dense-contraction trick
+            # as the tent, with trunc-derived tap indices); HandleBorder
+            # column wrap is baked into the slab by prepare_fly's
+            # periodic extension.
+            qxs = (fx >> scale).astype(jnp.float32)
+            other_x = qxs + wsgn * dq
+            ox_t = jnp.trunc(other_x)
+            fl_w = ox_t + 1.0 - other_x
+            d1 = (wsgn * (ox_t - qxs))[:, None, :]
+            fwb = fl_w[:, None, :]
+            taps = (jnp.where(d_io == d1, fwb, 0.0)
+                    + jnp.where(d_io == d1 + wsgn, 1.0 - fwb, 0.0))
+            warp = [jnp.sum(chv_b[c, :, :, off:off + tw] * taps, axis=1)
+                    for c in range(4)]
+            qg = img_rot[3, 0:th, off:off + tw]
+            clr = (jnp.abs(q[0] - warp[0]) + jnp.abs(q[1] - warp[1])
+                   + jnp.abs(q[2] - warp[2])) * inv3
+            val = (al * jnp.minimum(clr, t_clr)
+                   + be * jnp.minimum(jnp.abs(qg - warp[3]), t_grd))
+        else:
+            # Dense tent contraction over the dpad cost slices -- equal
+            # to the Pre* cost-space two-tap lerp at fractional dq
+            # (pre_ss_pc.cc:99-111) because the tent has mass only at
+            # floor(dq)/ceil(dq).
+            vol_q = vol_b[:, :, off:off + tw]
+            tent = jnp.maximum(0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
+            val = jnp.sum(vol_q * tent, axis=1)
         val = jnp.where(in_range, val, maxc)
         out_ref[0, 0] += wgt * val
 
@@ -405,7 +480,7 @@ class PreparedFly:
     """
 
     def __init__(self, img_p, oth_p, h, w, d, scale=0, hs=None, ws=None,
-                 slab_w=0):
+                 slab_w=0, lerp="cost"):
         self.img_p = img_p
         self.oth_p = oth_p
         self.h, self.w, self.d = h, w, d
@@ -413,18 +488,20 @@ class PreparedFly:
         self.hs = h if hs is None else hs
         self.ws = w if ws is None else ws
         self.slab_w = slab_w
+        self.lerp = lerp
 
 
 jax.tree_util.register_pytree_node(
     PreparedFly,
     lambda p: ((p.img_p, p.oth_p),
-               (p.h, p.w, p.d, p.scale, p.hs, p.ws, p.slab_w)),
+               (p.h, p.w, p.d, p.scale, p.hs, p.ws, p.slab_w, p.lerp)),
     lambda aux, ch: PreparedFly(*ch, *aux))
 
 
 def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
                 th: int = 64, tw: int = 128, scale: int = 0,
-                fine_hw: tuple | None = None) -> PreparedFly:
+                fine_hw: tuple | None = None,
+                lerp: str = "cost") -> PreparedFly:
     """Lay out per-view channel planes for the fused on-the-fly kernel.
 
     Args:
@@ -437,6 +514,18 @@ def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
     -- the color TAD is channel-permutation invariant so BGR order is
     fine, and the gradient is computed at level-s resolution before any
     upsampling (grd_cc.cpp:70-77 computes it on the level image).
+
+    lerp selects the kernel's sub-pixel mode the layout serves:
+      * "cost" (production): the kernel builds GRD cost slices in VMEM
+        and lerps in COST space like the Pre* classes; out-of-image
+        shifted reads take the border pseudo-cost, so the other-view
+        extension is zero-filled.
+      * "image": the literal GrdPC/CSPC semantics -- the kernel lerps
+        the other view's CHANNELS at the sub-pixel warp; columns wrap
+        like HandleBorder (commfunc.h:129-145, applied to each tap in
+        grd_pc.cc:153-154), so the extension is PERIODIC over the
+        level-s width (mod covers every wrap the in-range disparity
+        test admits).
     """
     from ..color import bgr_to_rgb, rgb_to_gray_f32
     from ..gradient import sobel_x_k1
@@ -465,17 +554,26 @@ def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
     if scale == 0:
         img_p = jnp.pad(ch, ((0, 0), (0, 0), (mg, hp - h - mg),
                              (mg, wp - w - mg)))
-        oth_p = jnp.pad(oth, ((0, 0), (0, 0), (mg, hp - h - mg),
-                              (ext, ext_w - w - ext)))
+        if lerp == "image":
+            oth_r = jnp.pad(oth, ((0, 0), (0, 0), (mg, hp - h - mg),
+                                  (0, 0)))
+            oth_p = jnp.take(oth_r, (jnp.arange(ext_w) - ext) % w, axis=3)
+        else:
+            oth_p = jnp.pad(oth, ((0, 0), (0, 0), (mg, hp - h - mg),
+                                  (ext, ext_w - w - ext)))
     else:
         ry = jnp.clip((jnp.arange(hp) - mg) >> scale, 0, hs - 1)
         rx = jnp.clip((jnp.arange(wp) - mg) >> scale, 0, ws - 1)
         img_p = jnp.take(jnp.take(ch, ry, axis=2), rx, axis=3)
         # ext lane e -> fine global column e - ext -> level (e-ext) >> s;
-        # out-of-image values are never read unmasked (see class doc)
-        re = jnp.clip((jnp.arange(ext_w) - ext) >> scale, 0, ws - 1)
+        # cost mode: out-of-image values are never read unmasked (class
+        # doc); image mode: periodic over the level width (HandleBorder)
+        if lerp == "image":
+            re = ((jnp.arange(ext_w) - ext) >> scale) % ws
+        else:
+            re = jnp.clip((jnp.arange(ext_w) - ext) >> scale, 0, ws - 1)
         oth_p = jnp.take(jnp.take(oth, ry, axis=2), re, axis=3)
-    return PreparedFly(img_p, oth_p, h, w, d, scale, hs, ws, slab_w)
+    return PreparedFly(img_p, oth_p, h, w, d, scale, hs, ws, slab_w, lerp)
 
 
 def plane_params(abc: jax.Array, *, th: int = 64,
@@ -494,9 +592,8 @@ def plane_params(abc: jax.Array, *, th: int = 64,
     d_center = abc[..., 0] * xs + abc[..., 1] * ys + abc[..., 2]
     pad = ((0, 0), (0, 0), (0, n_ty * th - h), (0, n_tx * tw - w))
     # Padded (out-of-image) tile pixels get d_center = -2 with zero slopes:
-    # outside the tent-relevant range, so the kernel's slab-bound reduction
-    # treats them as irrelevant instead of anchoring every edge tile's slab
-    # at d = 0 (their cost outputs are sliced away regardless).
+    # always out of range (saturated), and their cost outputs are sliced
+    # away by the caller regardless.
     params = jnp.stack([jnp.pad(d_center, pad, constant_values=-2.0),
                         jnp.pad(abc[..., 0], pad),
                         jnp.pad(abc[..., 1], pad),
@@ -548,10 +645,17 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         fly=fly_params)
 
     n_ch = 3 if fly_params is None else 4
+    image_lerp = (fly_params is not None
+                  and fly_params.get("lerp", "cost") == "image")
+    # image-lerp mode contracts 4 shifted CHANNEL volumes instead of one
+    # cost volume, and its data term reads the window pixel's gradient,
+    # so the rotated-rows scratch carries the 4th channel too
+    vol_shape = ((4, rows_t, dpad, wt_pad) if image_lerp
+                 else (rows_t, dpad, wt_pad))
     scratch = [
         pltpu.VMEM((n_ch, rows_t, wt_pad), jnp.float32),
-        pltpu.VMEM((rows_t, dpad, wt_pad), jnp.float32),
-        pltpu.VMEM((3, rows_t, wt_pad), jnp.float32),
+        pltpu.VMEM(vol_shape, jnp.float32),
+        pltpu.VMEM((4 if image_lerp else 3, rows_t, wt_pad), jnp.float32),
         pltpu.SemaphoreType.DMA((3,)),
     ]
     if fly_params is not None:
@@ -584,7 +688,8 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         out_shape=jax.ShapeDtypeStruct((nv, k, n_ty * th, n_tx * tw),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=nv * k * n_ty * th * n_tx * tw * wnd * wnd * (dpad * 3 + 12),
+            flops=(nv * k * n_ty * th * n_tx * tw * wnd * wnd
+                   * (dpad * (10 if image_lerp else 3) + 12)),
             bytes_accessed=(vol_p.size + img_p.size) * 4,
             transcendentals=nv * n_ty * th * n_tx * tw * wnd * wnd,
         ),
@@ -638,10 +743,19 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
                             wnd_stride: int = 1) -> jax.Array:
     """Fused on-the-fly GRD window plane cost (no HBM cost volume).
 
-    Same window/ASW/lerp semantics as window_plane_cost_prepared over the
-    GRD volume that grd_cost_volume would build (element-exact up to the
-    saturation constant, see fly_sat_cost); the volume never exists --
-    each tile's slices are built in VMEM from the other view's channels.
+    With prep.lerp == "cost" (production): same window/ASW/lerp semantics
+    as window_plane_cost_prepared over the GRD volume that
+    grd_cost_volume would build (element-exact up to the saturation
+    constant, see fly_sat_cost); the volume never exists -- each tile's
+    slices are built in VMEM from the other view's channels.
+
+    With prep.lerp == "image": the literal GrdPC semantics
+    (grd_pc.cc:71-178) -- sub-pixel interpolation happens in IMAGE space
+    (C-trunc taps, HandleBorder column wrap, no border pseudo-cost),
+    element-exact vs ops.onthefly_cost.grd_fly_cost.  ~dpad extra
+    channel contractions per window pixel make it slower than cost mode;
+    it exists so the reference's query-time cost family runs on TPU with
+    its exact sub-pixel semantics, not just the Pre*-style ones.
 
     Args:
       prep: prepare_fly output (same half_wnd/max_dis/th/tw).
@@ -654,14 +768,15 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
     sat = jnp.float32(fly_sat_cost(alpha, tau_clr, tau_grd))
     maxc = jnp.stack([sat, sat])
     fp = dict(alpha=alpha, tau_clr=tau_clr, tau_grd=tau_grd,
-              border_thres=border_thres)
+              border_thres=border_thres, lerp=prep.lerp)
     return _invoke(prep, maxc, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
                    wnd_stride=wnd_stride, fly_params=fp)
 
 
 def prepare_cross_scale_fly(vd_imgs, *, half_wnd: int, max_dis: int,
-                            th: int = 64, tw: int = 128):
+                            th: int = 64, tw: int = 128,
+                            lerp: str = "cost"):
     """prepare_fly for every pyramid level (level-s disparity bound
     max_dis // 2^s, pre_cs_pc.cc per-level volumes)."""
     fine_hw = vd_imgs[0].shape[1:3]
@@ -669,7 +784,8 @@ def prepare_cross_scale_fly(vd_imgs, *, half_wnd: int, max_dis: int,
     md = max_dis
     for s, img_s in enumerate(vd_imgs):
         preps.append(prepare_fly(img_s, half_wnd=half_wnd, max_dis=md,
-                                 th=th, tw=tw, scale=s, fine_hw=fine_hw))
+                                 th=th, tw=tw, scale=s, fine_hw=fine_hw,
+                                 lerp=lerp))
         md //= 2
     return preps
 
@@ -683,13 +799,16 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
                                   tw: int = 128) -> jax.Array:
     """Cross-scale on-the-fly aggregated plane cost (fused kernel per
     level, no HBM volumes) -- the TPU-native CSPC (cspc.cc:107-182
-    capability; window/lerp semantics follow the Pre* window cost like
-    the single-scale fly path)."""
+    capability).  With preps built lerp="cost" the window/lerp semantics
+    follow the Pre* window cost like the single-scale fly path; with
+    lerp="image" each level applies CSPC's literal image-space sub-pixel
+    warp into the level-s other view (element-exact vs
+    ops.onthefly_cost.cs_fly_cost)."""
     params = plane_params(abc, th=th, tw=tw)
     sat = jnp.float32(fly_sat_cost(alpha, tau_clr, tau_grd))
     maxc = jnp.stack([sat, sat])
     fp = dict(alpha=alpha, tau_clr=tau_clr, tau_grd=tau_grd,
-              border_thres=border_thres)
+              border_thres=border_thres, lerp=preps[0].lerp)
     total = None
     md = max_dis
     for s, prep in enumerate(preps):
@@ -703,13 +822,14 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "half_wnd", "max_dis", "gamma", "th", "tw"))
+    "half_wnd", "max_dis", "gamma", "th", "tw", "lerp"))
 def fly_plane_cost_pallas(imgs_u8: jax.Array, abc: jax.Array, *,
                           half_wnd: int, max_dis: int, gamma: float,
-                          th: int = 64, tw: int = 128) -> jax.Array:
+                          th: int = 64, tw: int = 128,
+                          lerp: str = "cost") -> jax.Array:
     """One-shot convenience wrapper: prepare + evaluate (used by tests)."""
     prep = prepare_fly(imgs_u8, half_wnd=half_wnd, max_dis=max_dis,
-                       th=th, tw=tw)
+                       th=th, tw=tw, lerp=lerp)
     return fly_plane_cost_prepared(prep, abc, half_wnd=half_wnd,
                                    max_dis=max_dis, gamma=gamma, th=th,
                                    tw=tw)

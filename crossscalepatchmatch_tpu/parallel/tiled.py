@@ -251,6 +251,16 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
     # --- static halos: image + volume, and row/column validity -------------
     imgs_cb = _col_block(imgs_roww, hw)
     ext_imgs = jax.vmap(lambda x: extend_rows(x, hw))(imgs_cb)
+    # ASW weight image for the cost evaluators: the per-pixel Lab
+    # conversion under cfg.use_lab_weights (USE_LAB_WGT capability;
+    # pointwise, so converting the halo-extended block equals converting
+    # the global image and slicing).  ext_imgs itself stays BGR for the
+    # weighted median (reference behavior either way).
+    if cfg.use_lab_weights:
+        from ..ops.color import bgr_to_lab_u8
+        wgt_ext = bgr_to_lab_u8(ext_imgs)
+    else:
+        wgt_ext = ext_imgs
     g_row = row0 + jnp.arange(-hw, hs + hw)
     row_valid = (g_row >= 0) & (g_row < h_glob)
     g_col = col0 + jnp.arange(-hw, ws + hw)
@@ -278,6 +288,11 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
             coarse_imgs.append(jnp.stack([l_pyr[scl], r_pyr[scl]]))
             coarse_vols.append(v_s)
             coarse_mcs.append(jnp.max(v_s, axis=(1, 2, 3)))
+        if cfg.use_lab_weights:
+            from ..ops.color import bgr_to_lab_u8
+            coarse_wimgs = [bgr_to_lab_u8(im) for im in coarse_imgs]
+        else:
+            coarse_wimgs = coarse_imgs
 
     sparse_fn = None   # prescreen evaluator
     if cfg.prescreen_mode == "volume" and cfg.prescreen_stride > 1:
@@ -297,7 +312,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                                   gamma=cfg.wgt_gamma,
                                   stride=max(cfg.prescreen_stride, 1))
         bq_e, wq_e = jax.vmap(lambda i, v2: build(i, v2, valid2d))(
-            ext_imgs, ext_vols)
+            wgt_ext, ext_vols)
         csl = slice(hw, hw + ws) if n_tx > 1 else slice(None)
         bq_c = bq_e[:, :, hw:hw + hs, csl]
         wq_c = wq_e[:, :, hw:hw + hs, csl]
@@ -315,7 +330,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
         from ..ops.pallas.window_cost import (
             cross_scale_plane_cost_prepared, prepare_volumes,
             window_plane_cost_prepared)
-        prep0 = prepare_volumes(ext_imgs, ext_vols, half_wnd=hw,
+        prep0 = prepare_volumes(wgt_ext, ext_vols, half_wnd=hw,
                                 rows_extended=True,
                                 cols_extended=n_tx > 1)
         yb0 = jnp.stack([-row0, h_glob - row0,
@@ -326,8 +341,9 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
             mcs = [max_cost]
             for scl in range(1, levels):
                 preps.append(prepare_volumes(
-                    coarse_imgs[scl - 1], coarse_vols[scl - 1], half_wnd=hw,
-                    scale=scl, fine_hw=(hs, ws), row0=row0, col0=col0))
+                    coarse_wimgs[scl - 1], coarse_vols[scl - 1],
+                    half_wnd=hw, scale=scl, fine_hw=(hs, ws), row0=row0,
+                    col0=col0))
                 hs_s, ws_s = coarse_imgs[scl - 1].shape[1:3]
                 ybounds_s.append(jnp.stack(
                     [-row0, (hs_s << scl) - row0,
@@ -369,7 +385,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
             fn = functools.partial(window_plane_cost, half_wnd=hw,
                                    max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,
                                    **jnp_kw)
-            total = jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
+            total = jax.vmap(fn)(wgt_ext, ext_vols, max_cost, abc2)
             if not cfg.use_cs:
                 return total
             total = jnp.float32(wgts[0]) * total
@@ -387,7 +403,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                         max_dis_s=md, gamma=cfg.wgt_gamma)
 
                 cost_s = jax.vmap(per_view)(
-                    coarse_imgs[scl - 1], coarse_vols[scl - 1],
+                    coarse_wimgs[scl - 1], coarse_vols[scl - 1],
                     coarse_mcs[scl - 1], abc2)
                 total = total + jnp.float32(wgts[scl]) * cost_s
             return total
@@ -399,7 +415,7 @@ def _pair_sharded(l_loc: jax.Array, r_loc: jax.Array, seed: jax.Array,
                     window_plane_cost, half_wnd=hw, max_dis=cfg.max_dis,
                     gamma=cfg.wgt_gamma,
                     wnd_stride=cfg.prescreen_stride, **jnp_kw)
-                return jax.vmap(fn)(ext_imgs, ext_vols, max_cost, abc2)
+                return jax.vmap(fn)(wgt_ext, ext_vols, max_cost, abc2)
 
     if cfg.use_cs and cfg.prescreen_mode != "volume":
         sparse_fn = None     # the window prescreen is single-scale only

@@ -293,3 +293,54 @@ class TestWarmStart:
                              warm_iters=1)
         # strict-improvement adoption: total cost is monotone per pixel
         assert (np.asarray(warm["cost"]) <= cold["cost"] + 1e-5).all()
+
+
+class TestLabWeights:
+    """USE_LAB_WGT capability (grd_pc.h:25): ASW weights on the CIE Lab
+    conversion; data terms and post-processing stay BGR/gradient."""
+
+    def test_lab_weights_volume_path_converges(self):
+        pair = make_pair(**SMALL)
+        cfg = small_cfg(use_lab_weights=True, use_pp=True)
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.15, f"lab-weight bad-pixel rate too high: {bad:.3f}"
+
+    def test_lab_weights_change_the_costs(self):
+        """The Lab weight image must actually reach the evaluator: cost
+        fields under BGR vs Lab weights differ (same volume, same
+        planes)."""
+        from crossscalepatchmatch_tpu.ops.cost_volume import (
+            build_volume_data)
+        pair = make_pair(**SMALL)
+        key = jax.random.PRNGKey(0)
+        abc2 = jax.random.uniform(key, (2, 1, 48, 64, 3), jnp.float32,
+                                  -0.2, 0.2).at[..., 2].add(5.0)
+        costs = []
+        for lab in (False, True):
+            cfg = small_cfg(use_lab_weights=lab)
+            vd = build_volume_data(jnp.asarray(pair.left),
+                                   jnp.asarray(pair.right), cfg)
+            cost_fn, _ = pm.make_cost_fns(cfg, vd)
+            costs.append(np.asarray(cost_fn(abc2)))
+        assert not np.allclose(costs[0], costs[1])
+
+    def test_lab_weights_literal_fly_path(self):
+        """The literal jnp on-the-fly path accepts Lab weights (the exact
+        code path the reference's toggle lives in, grd_pc.cc:80-110)."""
+        pair = make_pair(h=32, w=48, max_dis=8, seed=3)
+        cfg = small_cfg(max_dis=8, wnd_size=9, precompute_volume=False,
+                        use_lab_weights=True, use_pallas=False,
+                        adopt_mode="exact", prescreen_stride=1)
+        out = run_pair_np(pair.left, pair.right, cfg, seed=0)
+        disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
+        bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
+        assert bad < 0.25, f"literal-fly lab bad-pixel too high: {bad:.3f}"
+
+    def test_lab_weights_fused_fly_rejected(self):
+        cfg = small_cfg(precompute_volume=False, use_lab_weights=True,
+                        adopt_mode="exact", prescreen_stride=1)
+        imgs = jnp.zeros((32, 48, 3), jnp.uint8)
+        with pytest.raises(ValueError, match="use_lab_weights"):
+            pm.make_fused_fly_cost_fns(cfg, imgs, imgs)

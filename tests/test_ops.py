@@ -206,3 +206,32 @@ class TestVolumeData:
         assert vd.vols[1].shape == (2, 8, 10, 5)
         assert vd.vols[2].shape == (2, 4, 5, 3)
         assert vd.imgs[1].shape == (2, 8, 10, 3)
+
+
+class TestLab:
+    def test_lab_goldens(self):
+        """Hand-derived u8 Lab values from the documented OpenCV 8U
+        formula (f64 evaluation): BGR in, (L*255/100, a+128, b+128) out.
+        Pins the conversion the USE_LAB_WGT weight variant reads
+        (grd_pc.cc:31-35,105-109)."""
+        bgr = jnp.array([[[0, 0, 0], [255, 255, 255], [0, 0, 255],
+                          [0, 255, 0], [255, 0, 0], [128, 128, 128],
+                          [40, 120, 200]]], jnp.uint8)
+        want = np.array([[[0, 128, 128], [255, 128, 128], [136, 208, 195],
+                          [224, 42, 211], [82, 207, 20], [194, 128, 128],
+                          [196, 136, 171]]], np.uint8)
+        got = np.asarray(color.bgr_to_lab_u8(bgr)).astype(np.int32)
+        # f32 evaluation may round a borderline value one step from the
+        # f64 golden
+        assert np.abs(got - want.astype(np.int32)).max() <= 1
+
+    def test_lab_gray_axis(self):
+        """Any gray pixel maps to a = b = 128 (neutral chroma) with L
+        monotone in intensity."""
+        g = jnp.arange(0, 256, 15, jnp.uint8)
+        bgr = jnp.stack([g, g, g], axis=-1)[None]
+        lab = np.asarray(color.bgr_to_lab_u8(bgr))[0]
+        np.testing.assert_array_equal(lab[:, 1], 128)
+        np.testing.assert_array_equal(lab[:, 2], 128)
+        assert np.all(np.diff(lab[:, 0].astype(np.int32)) >= 0)
+        assert lab[0, 0] == 0 and lab[-1, 0] == 255

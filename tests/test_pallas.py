@@ -310,3 +310,96 @@ def test_fly_cross_scale_and_deep_volume_interpret():
             imgs2, vol2, mc2, abc2)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_fly_image_lerp_matches_literal_grd_pc_interpret():
+    """fly_lerp="image": the kernel's literal GrdPC mode (image-space
+    sub-pixel lerp with C-trunc taps and HandleBorder column wrap,
+    grd_pc.cc:149-171) vs the authoritative jnp grd_fly_cost.
+
+    Candidate spread is chosen to exercise every semantics corner:
+    in-range warps, out-of-range saturation, and negative/past-width
+    warped positions (column wrap + trunc-extrapolation weights)."""
+    from crossscalepatchmatch_tpu.ops.onthefly_cost import (grd_fly_cost,
+                                                            gray_gradient)
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_pallas)
+
+    h, w, d, wnd = 24, 40, 8, 5
+    key = jax.random.PRNGKey(11)
+    k1, k3 = jax.random.split(key)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    grd = gray_gradient(imgs)
+
+    k = 3
+    ab = jax.random.uniform(k3, (2, k, h, w, 2), jnp.float32, -1, 1)
+    dc = jax.random.uniform(k3, (2, k, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fly_plane_cost_pallas(imgs, abc, half_wnd=wnd // 2,
+                                    max_dis=d, gamma=10.0, th=8, tw=128,
+                                    lerp="image")
+    kw = dict(half_wnd=wnd // 2, max_dis=d, gamma=10.0)
+    want = jnp.stack([
+        grd_fly_cost(imgs[0], imgs[1], grd[0], grd[1], abc[0], sign=-1,
+                     **kw),
+        grd_fly_cost(imgs[1], imgs[0], grd[1], grd[0], abc[1], sign=+1,
+                     **kw)])
+    # atol: image-space lerp multiplies the plane-eval's f32 FMA-contraction
+    # ULP differences (kernel vs XLA-fused jnp) by 0..255 channel values --
+    # ~25x the amplification of the cost-space tests (costs are <= ~10);
+    # measured worst element 4e-4 over 5760.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fly_cs_image_lerp_matches_literal_cspc_interpret():
+    """Cross-scale fly_lerp="image" (literal CSPC: per-level image-space
+    warp into the level-s other view, cspc.cc:107-182) vs cs_fly_cost."""
+    from crossscalepatchmatch_tpu.ops.onthefly_cost import (cs_fly_cost,
+                                                            gray_gradient)
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        cross_scale_fly_cost_prepared, prepare_cross_scale_fly)
+    from crossscalepatchmatch_tpu.ops.pyramid import build_pyramid
+
+    h, w, d, wnd, levels = 32, 48, 12, 5, 2
+    key = jax.random.PRNGKey(5)
+    k1, k3 = jax.random.split(key)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    l_pyr = build_pyramid(imgs[0], levels)
+    r_pyr = build_pyramid(imgs[1], levels)
+    l_grd = [gray_gradient(im) for im in l_pyr]
+    r_grd = [gray_gradient(im) for im in r_pyr]
+    pyr_imgs = [jnp.stack([l_pyr[s], r_pyr[s]]) for s in range(levels)]
+    wgts = (0.6, 0.4)
+
+    k = 2
+    ab = jax.random.uniform(k3, (2, k, h, w, 2), jnp.float32, -0.5, 0.5)
+    dc = jax.random.uniform(k3, (2, k, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    abc = jnp.concatenate([ab, c[..., None]], axis=-1)
+
+    with pltpu.force_tpu_interpret_mode():
+        preps = prepare_cross_scale_fly(pyr_imgs, half_wnd=wnd // 2,
+                                        max_dis=d, th=8, tw=128,
+                                        lerp="image")
+        got = cross_scale_fly_cost_prepared(
+            preps, wgts, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
+            th=8, tw=128)
+    kw = dict(half_wnd=wnd // 2, max_dis=d, gamma=10.0)
+    want = jnp.stack([
+        cs_fly_cost(l_pyr, r_pyr, l_grd, r_grd, wgts, abc[0], sign=-1,
+                    **kw),
+        cs_fly_cost(r_pyr, l_pyr, r_grd, l_grd, wgts, abc[1], sign=+1,
+                    **kw)])
+    # atol: see the single-scale image-lerp test (255-scale channel
+    # amplification of plane-eval ULP differences).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-3)

@@ -302,3 +302,36 @@ def test_pipeline_runs_with_fly_kernel():
     disp = out["dis"][0].astype(np.float32) / cfg.dis_scale
     bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
     assert bad < 0.2, f"fly-path bad-pixel rate too high: {bad:.3f}"
+
+
+def test_fly_image_lerp_exact_vs_literal():
+    """fly_lerp="image" on real hardware: the kernel's literal GrdPC
+    mode (image-space sub-pixel lerp, C-trunc taps, HandleBorder column
+    wrap, grd_pc.cc:149-171) vs the jnp grd_fly_cost authority run on
+    CPU (the literal path's per-pixel warp gathers serialize on
+    XLA:TPU, so the reference values are computed host-side)."""
+    from crossscalepatchmatch_tpu.ops.onthefly_cost import (grd_fly_cost,
+                                                            gray_gradient)
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_pallas)
+
+    h, w, d, wnd, k = 96, 130, 20, 35, 2
+    imgs, _, _, abc = _mk(h, w, d, k)
+    got = fly_plane_cost_pallas(imgs, abc, half_wnd=wnd // 2, max_dis=d,
+                                gamma=10.0, lerp="image")
+
+    cpu = jax.devices("cpu")[0]
+    imgs_c = jax.device_put(imgs, cpu)
+    abc_c = jax.device_put(abc, cpu)
+    with jax.default_device(cpu):
+        grd_c = gray_gradient(imgs_c)
+        kw = dict(half_wnd=wnd // 2, max_dis=d, gamma=10.0)
+        want = jnp.stack([
+            grd_fly_cost(imgs_c[0], imgs_c[1], grd_c[0], grd_c[1],
+                         abc_c[0], sign=-1, **kw),
+            grd_fly_cost(imgs_c[1], imgs_c[0], grd_c[1], grd_c[0],
+                         abc_c[1], sign=+1, **kw)])
+    # tolerance: image-space lerp amplifies plane-eval FMA-contraction
+    # ULP differences by 0..255 channel values (see tests/test_pallas.py)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-3)
