@@ -20,8 +20,10 @@ which is pure VPU work.  Layout choices that make it fast:
   * the image is stored [3, H, W] planes so the ASW weight's channel sum
     is three 2-D slices, not a minor-axis reduction;
   * adaptive weights w(c, q) = exp(-L1(img_c, img_q)/gamma) depend only on
-    the image, so they are computed once per window offset and reused
-    across all K candidate planes (the stencil of a propagation sweep);
+    the image; since the round-4 grid restructure (one candidate per grid
+    step) they are recomputed per candidate -- measured cheaper overall
+    than the K-in-body layout that shared them (BASELINE.md round 4), as
+    the weight math is a small fraction of the depth contraction;
   * halo'd tiles (half_wnd on every side) are DMA'd from HBM manually --
     overlapping tiles are not expressible with BlockSpec index maps -- and
     compute dwarfs the copy by ~3 orders of magnitude.

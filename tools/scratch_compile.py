@@ -12,7 +12,7 @@ import time
 
 import jax
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 if "--cold" not in sys.argv:
     jax.config.update("jax_compilation_cache_dir", CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
