@@ -169,9 +169,10 @@ class CSPMConfig:
     # OFF in the reference; exposed here as a capability.  The data term
     # and post-processing stay BGR/gradient either way (the weighted
     # median's LUT is BGR even under the reference's toggle).  Supported
-    # on the precomputed-volume paths and the literal jnp on-the-fly
-    # path; the fused no-volume fly kernel rejects it (its channel slab
-    # doubles as weight and data source).
+    # on every backend: the precomputed-volume paths, the literal jnp
+    # on-the-fly path, and (round 5) the fused no-volume fly kernel,
+    # whose tiles carry a prefixed 3-channel Lab weight slab
+    # (ops.pallas.window_cost.prepare_fly wgt_imgs_u8).
     use_lab_weights: bool = False
 
     # --- cost model constants ---------------------------------------------
@@ -216,6 +217,16 @@ class CSPMConfig:
     seed: int = 0
     eps: float = 1e-8           # kDoubleEps analogue (commfunc.h:25)
     use_pallas: bool = True     # use the fused Pallas window-cost kernel on TPU
+    # Storage dtype of the KERNEL-LAYOUT cost volumes ("f32" | "bf16").
+    # bf16 halves the volume's HBM footprint and the kernel's dominant
+    # VMEM slab traffic; the tent contraction still accumulates in f32
+    # (bf16 * f32 promotes), so only the stored slice values round to an
+    # 8-bit mantissa -- census costs (integers 0-80) are EXACT in bf16,
+    # GRD costs round at ~0.4% relative.  Applies to the Pallas volume
+    # paths only (the jnp authority and the fly path stay f32).
+    # Round-5 A/B measurements and the parity matrix for each setting
+    # are in BASELINE.md.
+    vol_dtype: str = "f32"
     # (FOUR data-sparse / scheduling alternatives for the kernel's
     # disparity lerp were built across rounds 1-4, measured SLOWER on v5e
     # hardware than the plain dense tent contraction, and deleted: a
@@ -244,6 +255,10 @@ class CSPMConfig:
             raise ValueError(
                 f"fly_lerp must be 'cost' or 'image', got "
                 f"{self.fly_lerp!r}")
+        if self.vol_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"vol_dtype must be 'f32' or 'bf16', got "
+                f"{self.vol_dtype!r}")
         if self.prescreen_mode not in ("window", "volume"):
             raise ValueError(
                 f"prescreen_mode must be 'window' or 'volume', got "

@@ -134,18 +134,13 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
     prescreen (single-scale only; the quadrant prescreen needs a
     volume).
     """
+    from ..ops.color import bgr_to_lab_u8
     from ..ops.pallas.window_cost import (cross_scale_fly_cost_prepared,
                                           fly_plane_cost_prepared,
                                           prepare_cross_scale_fly,
                                           prepare_fly)
     from ..ops.pyramid import build_pyramid
 
-    if cfg.use_lab_weights:
-        raise ValueError(
-            "use_lab_weights is not supported on the fused no-volume fly "
-            "kernel (its channel slab feeds both the ASW weights and the "
-            "data term); use precompute_volume=True or the literal jnp "
-            "on-the-fly path (use_pallas=False)")
     kw = dict(half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
               gamma=cfg.wgt_gamma, alpha=cfg.cost_alpha,
               tau_clr=cfg.tau_clr, tau_grd=cfg.tau_grd,
@@ -155,9 +150,15 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
         l_pyr = build_pyramid(l_bgr_u8, levels)
         r_pyr = build_pyramid(r_bgr_u8, levels)
         imgs = [jnp.stack([l_pyr[s], r_pyr[s]]) for s in range(levels)]
+        # USE_LAB_WGT capability on the no-volume kernel: per-level Lab
+        # conversions ride a prefixed weight-channel slab (cspc.cc:48-49;
+        # window_cost.prepare_fly wgt_imgs_u8)
+        wgts_s = ([bgr_to_lab_u8(im) for im in imgs]
+                  if cfg.use_lab_weights else None)
         preps = prepare_cross_scale_fly(imgs, half_wnd=cfg.half_wnd,
                                         max_dis=cfg.max_dis,
-                                        lerp=cfg.fly_lerp)
+                                        lerp=cfg.fly_lerp,
+                                        vd_wgt_imgs=wgts_s)
         wgts = tuple(float(x) for x in
                      scale_weights(cfg.scale_num, cfg.reg_lambda))
 
@@ -166,9 +167,11 @@ def make_fused_fly_cost_fns(cfg: CSPMConfig, l_bgr_u8: jax.Array,
 
         return cost_fn, None
 
-    prep = prepare_fly(jnp.stack([l_bgr_u8, r_bgr_u8]),
-                       half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
-                       lerp=cfg.fly_lerp)
+    imgs = jnp.stack([l_bgr_u8, r_bgr_u8])
+    prep = prepare_fly(imgs, half_wnd=cfg.half_wnd, max_dis=cfg.max_dis,
+                       lerp=cfg.fly_lerp,
+                       wgt_imgs_u8=(bgr_to_lab_u8(imgs)
+                                    if cfg.use_lab_weights else None))
 
     def kernel_fn(abc2: jax.Array, stride: int) -> jax.Array:
         return fly_plane_cost_prepared(prep, abc2, wnd_stride=stride, **kw)
@@ -186,6 +189,11 @@ def _pallas_enabled(cfg: CSPMConfig) -> bool:
     element-exact against it (tests/test_pallas.py, tests_tpu).
     """
     return cfg.use_pallas and jax.default_backend() == "tpu"
+
+
+def _vol_dtype(cfg: CSPMConfig):
+    """Kernel-layout volume storage dtype (config.vol_dtype)."""
+    return jnp.bfloat16 if cfg.vol_dtype == "bf16" else jnp.float32
 
 
 def _volume_sparse_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
@@ -231,7 +239,8 @@ def make_cost_fns(cfg: CSPMConfig,
         # the kernel's image input feeds only the ASW weights, so the
         # Lab-weight variant is purely a data change here
         prep = prepare_volumes(vd.weight_imgs[0], vd.vols[0],
-                               half_wnd=cfg.half_wnd)
+                               half_wnd=cfg.half_wnd,
+                               vol_dtype=_vol_dtype(cfg))
         max_costs = vd.max_costs[0]
 
         def kernel_fn(abc2: jax.Array, stride: int) -> jax.Array:
@@ -252,7 +261,8 @@ def make_cost_fns(cfg: CSPMConfig,
         from ..ops.pallas.window_cost import (
             cross_scale_plane_cost_prepared, prepare_cross_scale)
         preps = prepare_cross_scale(vd.weight_imgs, vd.vols,
-                                    half_wnd=cfg.half_wnd)
+                                    half_wnd=cfg.half_wnd,
+                                    vol_dtype=_vol_dtype(cfg))
         wgts = tuple(float(x) for x in
                      scale_weights(cfg.scale_num, cfg.reg_lambda))
         max_costs_s = vd.max_costs

@@ -73,7 +73,7 @@ def _fly_build_image(v, oth_slab, chvol, *, dpad: int, scale: int,
 
 def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
                scale: int, mg: int, ws: int, alpha: float, tau_clr: float,
-               tau_grd: float, border_thres: float):
+               tau_grd: float, border_thres: float, data_ch0: int = 0):
     """Build the GRD cost-volume tile in VMEM from the other view's
     channel slab -- the fused "on the fly" volume (no [H, W, D] volume
     ever exists in HBM).
@@ -104,7 +104,10 @@ def _fly_build(v, c0, img_tile, oth_slab, vol_tile, *, dpad: int,
     be = jnp.float32(1.0 - alpha)
     inv3 = jnp.float32(1.0 / 3.0)
 
-    ref = [img_tile[c] for c in range(4)]
+    # data channels start after the optional weight slab (Lab weights):
+    # channels [0, 3) always feed the ASW weights, [data_ch0, data_ch0+4)
+    # the (B, G, R, grad) data term
+    ref = [img_tile[data_ch0 + c] for c in range(4)]
     bt = jnp.float32(border_thres)
     b_clr = (jnp.abs(ref[0] - bt) + jnp.abs(ref[1] - bt)
              + jnp.abs(ref[2] - bt)) * inv3
@@ -138,7 +141,8 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             max_dis: int, gamma: float, k: int,
             scale: int = 0, ws: int = 0,
             wstride: int = 1,
-            fly: dict | None = None):
+            fly: dict | None = None,
+            ablate: frozenset = frozenset()):
     """One (view, tile_y, tile_x, candidate, dy) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -208,6 +212,17 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     img_tile, vol_tile, img_rot, sems = scratch[:4]
     oth_slab = scratch[4] if fly is not None else None
     image_lerp = fly is not None and fly.get("lerp", "cost") == "image"
+    # `ablate` (volume path only; outputs are GARBAGE when non-empty) is
+    # the cycle-attribution hook for tools/scratch_cycle.py: knocking a
+    # named component out of the real kernel and timing the difference
+    # attributes the launch instruction-by-instruction (VERDICT round-4
+    # item 2) without maintaining a drifting standalone copy.  Members:
+    # "body" (DMA + grid only), "rot" (sublane rotate -> copy), "wgt"
+    # (ASW weight -> validity mask), "exp" (exp -> multiply), "tent"
+    # (tent build+mul dropped; vol read + depth sum kept), "mac" (all
+    # depth-wide work dropped), "slice" (unaligned lane slices -> offset
+    # 0).
+    assert not ablate or (fly is None and not image_lerp)
 
     step = 1 << scale
     mg = hb * step        # fine-grid margin baked into the padded arrays
@@ -259,6 +274,15 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                            **{k_: v_ for k_, v_ in fly.items()
                               if k_ != "lerp"})
 
+    dc0 = 0 if fly is None else fly.get("data_ch0", 0)
+
+    @pl.when(dyi == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    if "body" in ablate:
+        return
+
     # Image rows at a traced sublane offset: Mosaic rejects dynamic memref
     # slices on a TILED dim unless the index is provably a multiple of the
     # (8,128) tiling -- and mg + sy is an arbitrary integer.
@@ -266,12 +290,11 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
     # so roll the rows down by mg + sy once per (kk, dy) step.
     # (The literal image-lerp fly mode also rotates the gradient channel:
     # its data term reads the window pixel's own gradient.)
-    img_rot[...] = pltpu.roll(img_tile[0:img_rot.shape[0]],
-                              rows_t - (mg + sy), 1)
-
-    @pl.when(dyi == 0)
-    def _zero():
-        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    if "rot" in ablate:
+        img_rot[...] = img_tile[0:img_rot.shape[0]]
+    else:
+        img_rot[...] = pltpu.roll(img_tile[0:img_rot.shape[0]],
+                                  rows_t - (mg + sy), 1)
 
     # This candidate's plane params over the tile's center pixels.
     p0 = abc_ref[0, kk, 0]
@@ -289,6 +312,14 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
 
     ctr = [img_tile[p, mg:mg + th, mg:mg + tw] for p in range(3)]
     q_rows = [img_rot[p, 0:th, :] for p in range(3)]
+    # Lab-weight fly layout (data_ch0 > 0): channels [0, 3) feed the ASW
+    # weights, [dc0, dc0+4) the BGR+grad data term; without it the
+    # weight and data channels coincide and qd_rows aliases q_rows.
+    # Only the image-lerp branch reads window-pixel DATA channels (cost
+    # mode's data lives in vol_tile), and only then does img_rot carry
+    # them.
+    qd_rows = (q_rows if dc0 == 0 or not image_lerp
+               else [img_rot[dc0 + p, 0:th, :] for p in range(3)])
 
     fy = ys + sy
     # For scale > 0 the caller encodes ((fy + row0) >> s) < hs as the
@@ -323,14 +354,19 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         jnp.int32, (th, dpad, tw), 1).astype(jnp.float32)
     for dxi in range(n_dx):
         dx = dxi * wstride + o_start
-        off = (dx + hb) * step        # static lane offset
+        off = 0 if "slice" in ablate else (dx + hb) * step  # static lanes
         q = [q_rows[p][:, off:off + tw] for p in range(3)]
-        l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
-              + jnp.abs(ctr[2] - q[2]))
         # window pixel must map to a real (level-s) image pixel
         fx = xs + dx * step
         q_ok = y_ok & (fx >= yb_ref[2]) & (fx < yb_ref[3])
-        wgt = jnp.where(q_ok, jnp.exp(-l1 * inv_gamma), 0.0)
+        if "wgt" in ablate:
+            wgt = jnp.where(q_ok, 1.0, 0.0)
+        else:
+            l1 = (jnp.abs(ctr[0] - q[0]) + jnp.abs(ctr[1] - q[1])
+                  + jnp.abs(ctr[2] - q[2]))
+            wgt = jnp.where(q_ok,
+                            l1 * inv_gamma if "exp" in ablate
+                            else jnp.exp(-l1 * inv_gamma), 0.0)
         dq = p0 + pa * jnp.float32(dx) + pb * dyf
         f = jnp.trunc(dq)
         in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
@@ -356,9 +392,11 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
                     + jnp.where(d_io == d1 + wsgn, 1.0 - fwb, 0.0))
             warp = [jnp.sum(chv_b[c, :, :, off:off + tw] * taps, axis=1)
                     for c in range(4)]
-            qg = img_rot[3, 0:th, off:off + tw]
-            clr = (jnp.abs(q[0] - warp[0]) + jnp.abs(q[1] - warp[1])
-                   + jnp.abs(q[2] - warp[2])) * inv3
+            qd = (q if dc0 == 0
+                  else [qd_rows[p][:, off:off + tw] for p in range(3)])
+            qg = img_rot[dc0 + 3, 0:th, off:off + tw]
+            clr = (jnp.abs(qd[0] - warp[0]) + jnp.abs(qd[1] - warp[1])
+                   + jnp.abs(qd[2] - warp[2])) * inv3
             val = (al * jnp.minimum(clr, t_clr)
                    + be * jnp.minimum(jnp.abs(qg - warp[3]), t_grd))
         else:
@@ -366,9 +404,16 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             # to the Pre* cost-space two-tap lerp at fractional dq
             # (pre_ss_pc.cc:99-111) because the tent has mass only at
             # floor(dq)/ceil(dq).
-            vol_q = vol_b[:, :, off:off + tw]
-            tent = jnp.maximum(0.0, 1.0 - jnp.abs(dq[:, None, :] - d_io))
-            val = jnp.sum(vol_q * tent, axis=1)
+            if "mac" in ablate:
+                val = dq
+            else:
+                vol_q = vol_b[:, :, off:off + tw]
+                if "tent" in ablate:
+                    val = jnp.sum(vol_q, axis=1)
+                else:
+                    tent = jnp.maximum(0.0,
+                                       1.0 - jnp.abs(dq[:, None, :] - d_io))
+                    val = jnp.sum(vol_q * tent, axis=1)
         val = jnp.where(in_range, val, maxc)
         out_ref[0, 0] += wgt * val
 
@@ -402,7 +447,8 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
                     rows_extended: bool = False,
                     cols_extended: bool = False,
                     row0: jax.Array | int = 0,
-                    col0: jax.Array | int = 0) -> PreparedVolumes:
+                    col0: jax.Array | int = 0,
+                    vol_dtype=jnp.float32) -> PreparedVolumes:
     """Lay out images/volumes for the kernel (pad + D-to-sublane transpose).
 
     For scale > 0 the level-s arrays are nearest-upsampled to the fine grid
@@ -423,6 +469,11 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
         (scale > 0 only) -- a spatially-sharded caller passes its block
         offset so the upsampled slices of the replicated level-s arrays
         cover the block.  May be traced (inside shard_map).
+      vol_dtype: storage dtype of the kernel-layout volume (f32 default,
+        bf16 halves the HBM volume and the kernel's dominant VMEM slab
+        reads; the tent contraction accumulates in f32 either way --
+        only the slice VALUES round to 8-bit mantissa.  See
+        config.CSPMConfig.vol_dtype for the measured accuracy bound).
     """
     nv, hs, ws, _ = imgs_u8.shape
     d = vols.shape[-1]
@@ -435,7 +486,8 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
     h, w = fine_hw if fine_hw is not None else (hs, ws)
     step = 1 << scale
     mg = half_wnd * step
-    dpad = _round_up(d, 8)
+    # bf16 memrefs tile (16, 128) on the trailing (dpad, W) dims
+    dpad = _round_up(d, 16 if vol_dtype == jnp.bfloat16 else 8)
     n_ty = -(-h // th)
     n_tx = -(-w // tw)
     rows_t = _round_up(th + 2 * mg, 8)
@@ -444,7 +496,7 @@ def prepare_volumes(imgs_u8: jax.Array, vols: jax.Array, *, half_wnd: int,
     wp = (n_tx - 1) * tw + wt_pad
 
     img_f = jnp.moveaxis(imgs_u8.astype(jnp.float32), -1, 1)  # [2,3,Hs,Ws]
-    vol_t = jnp.moveaxis(vols, -1, 2)                         # [2,Hs,D,Ws]
+    vol_t = jnp.moveaxis(vols.astype(vol_dtype), -1, 2)       # [2,Hs,D,Ws]
     vol_t = jnp.pad(vol_t, ((0, 0), (0, 0), (0, dpad - d), (0, 0)))
     if scale == 0:
         # a pre-extended axis already carries its mg halo (sharded caller):
@@ -472,8 +524,13 @@ class PreparedFly:
     storage.
 
     img_p: f32[2, 4, Hp, Wp]   reference-view channels (B, G, R, x-grad
-      of BT.601 gray) padded like PreparedVolumes.img_p.
-    oth_p: f32[2, 4, Hp, ExtW] other-view channels, lane-extended so a
+      of BT.601 gray) padded like PreparedVolumes.img_p.  With Lab ASW
+      weights (grd_pc.h:25 capability) a 3-channel weight slab is
+      PREFIXED: [L, a, b, B, G, R, grad] and data_ch0 = 3 -- the second
+      weight-channel slab DMA that closes the use_lab_weights gap on the
+      no-volume kernel (VERDICT round-4 item 5).
+    oth_p: f32[2, 4, Hp, ExtW] other-view DATA channels (weights only
+      ever read the reference view), lane-extended so a
       tile at column c0 can DMA one contiguous slab covering every
       shifted read x -+ d (d in [0, dpad)): ext lane e holds fine global
       column e - E with E = (dpad - 1) * 2^scale + mg, zeros outside the
@@ -482,7 +539,7 @@ class PreparedFly:
     """
 
     def __init__(self, img_p, oth_p, h, w, d, scale=0, hs=None, ws=None,
-                 slab_w=0, lerp="cost"):
+                 slab_w=0, lerp="cost", data_ch0=0):
         self.img_p = img_p
         self.oth_p = oth_p
         self.h, self.w, self.d = h, w, d
@@ -491,19 +548,22 @@ class PreparedFly:
         self.ws = w if ws is None else ws
         self.slab_w = slab_w
         self.lerp = lerp
+        self.data_ch0 = data_ch0
 
 
 jax.tree_util.register_pytree_node(
     PreparedFly,
     lambda p: ((p.img_p, p.oth_p),
-               (p.h, p.w, p.d, p.scale, p.hs, p.ws, p.slab_w, p.lerp)),
+               (p.h, p.w, p.d, p.scale, p.hs, p.ws, p.slab_w, p.lerp,
+                p.data_ch0)),
     lambda aux, ch: PreparedFly(*ch, *aux))
 
 
 def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
                 th: int = 64, tw: int = 128, scale: int = 0,
                 fine_hw: tuple | None = None,
-                lerp: str = "cost") -> PreparedFly:
+                lerp: str = "cost",
+                wgt_imgs_u8: jax.Array | None = None) -> PreparedFly:
     """Lay out per-view channel planes for the fused on-the-fly kernel.
 
     Args:
@@ -528,6 +588,11 @@ def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
         grd_pc.cc:153-154), so the extension is PERIODIC over the
         level-s width (mod covers every wrap the in-range disparity
         test admits).
+
+    wgt_imgs_u8: optional u8[2, Hs, Ws, 3] per-view WEIGHT images (the
+      level-s Lab conversions for use_lab_weights, grd_pc.cc:31-35);
+      prefixed as channels [0, 3) so the kernel's ASW weights read them
+      while the data term reads the BGR+grad channels at data_ch0 = 3.
     """
     from ..color import bgr_to_rgb, rgb_to_gray_f32
     from ..gradient import sobel_x_k1
@@ -550,8 +615,14 @@ def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
 
     img_f = jnp.moveaxis(imgs_u8.astype(jnp.float32), -1, 1)  # [2,3,Hs,Ws]
     grd = sobel_x_k1(rgb_to_gray_f32(bgr_to_rgb(imgs_u8)))    # [2,Hs,Ws]
-    ch = jnp.concatenate([img_f, grd[:, None]], axis=1)       # [2,4,Hs,Ws]
-    oth = ch[::-1]            # view 0 reads the right image and vice versa
+    data = jnp.concatenate([img_f, grd[:, None]], axis=1)     # [2,4,Hs,Ws]
+    if wgt_imgs_u8 is None:
+        ch, data_ch0 = data, 0
+    else:
+        wgt_f = jnp.moveaxis(wgt_imgs_u8.astype(jnp.float32), -1, 1)
+        ch = jnp.concatenate([wgt_f, data], axis=1)           # [2,7,Hs,Ws]
+        data_ch0 = 3
+    oth = data[::-1]          # view 0 reads the right image and vice versa
 
     if scale == 0:
         img_p = jnp.pad(ch, ((0, 0), (0, 0), (mg, hp - h - mg),
@@ -575,7 +646,8 @@ def prepare_fly(imgs_u8: jax.Array, *, half_wnd: int, max_dis: int,
         else:
             re = jnp.clip((jnp.arange(ext_w) - ext) >> scale, 0, ws - 1)
         oth_p = jnp.take(jnp.take(oth, ry, axis=2), re, axis=3)
-    return PreparedFly(img_p, oth_p, h, w, d, scale, hs, ws, slab_w, lerp)
+    return PreparedFly(img_p, oth_p, h, w, d, scale, hs, ws, slab_w, lerp,
+                       data_ch0)
 
 
 def plane_params(abc: jax.Array, *, th: int = 64,
@@ -608,7 +680,8 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
             *, half_wnd: int, max_dis_s: int, gamma: float, th: int,
             tw: int, wnd_stride: int = 1,
             ybounds: jax.Array | None = None,
-            fly_params: dict | None = None) -> jax.Array:
+            fly_params: dict | None = None,
+            ablate: frozenset = frozenset()) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level.
 
     prep: PreparedVolumes (fly_params None) or PreparedFly (fly_params =
@@ -625,7 +698,11 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
     hb = half_wnd
     wnd = 2 * hb + 1
     mg = hb << prep.scale
-    dpad = _round_up(d, 8)
+    # volume path: depth padding and storage dtype come from the
+    # prepared layout (prepare_volumes vol_dtype); fly tiles are built
+    # in VMEM and stay f32
+    vol_dt = vol_p.dtype if fly_params is None else jnp.float32
+    dpad = (vol_p.shape[2] if fly_params is None else _round_up(d, 8))
 
     n_ty = -(-h // th)
     n_tx = -(-w // tw)
@@ -644,20 +721,23 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
         scale=prep.scale, ws=prep.ws, wstride=wnd_stride,
-        fly=fly_params)
+        fly=fly_params, ablate=ablate)
 
-    n_ch = 3 if fly_params is None else 4
+    # fly tiles carry (B, G, R, grad), plus a 3-channel Lab weight slab
+    # prefix when data_ch0 > 0 (prepare_fly wgt_imgs_u8)
+    n_ch = 3 if fly_params is None else img_p.shape[1]
     image_lerp = (fly_params is not None
                   and fly_params.get("lerp", "cost") == "image")
     # image-lerp mode contracts 4 shifted CHANNEL volumes instead of one
-    # cost volume, and its data term reads the window pixel's gradient,
-    # so the rotated-rows scratch carries the 4th channel too
+    # cost volume, and its data term reads the window pixel's own
+    # channels + gradient, so the rotated-rows scratch carries them all
     vol_shape = ((4, rows_t, dpad, wt_pad) if image_lerp
                  else (rows_t, dpad, wt_pad))
     scratch = [
         pltpu.VMEM((n_ch, rows_t, wt_pad), jnp.float32),
-        pltpu.VMEM(vol_shape, jnp.float32),
-        pltpu.VMEM((4 if image_lerp else 3, rows_t, wt_pad), jnp.float32),
+        pltpu.VMEM(vol_shape, vol_dt),
+        pltpu.VMEM((n_ch if image_lerp else 3, rows_t, wt_pad),
+                   jnp.float32),
         pltpu.SemaphoreType.DMA((3,)),
     ]
     if fly_params is not None:
@@ -692,7 +772,8 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=(nv * k * n_ty * th * n_tx * tw * wnd * wnd
                    * (dpad * (10 if image_lerp else 3) + 12)),
-            bytes_accessed=(vol_p.size + img_p.size) * 4,
+            bytes_accessed=(vol_p.size * vol_p.dtype.itemsize
+                            + img_p.size * 4),
             transcendentals=nv * n_ty * th * n_tx * tw * wnd * wnd,
         ),
     )(maxc, ybounds.astype(jnp.int32), img_p, vol_p, params)
@@ -704,7 +785,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                max_dis: int, gamma: float, th: int = 64,
                                tw: int = 128,
                                wnd_stride: int = 1,
-                               ybounds: jax.Array | None = None) -> jax.Array:
+                               ybounds: jax.Array | None = None,
+                               _ablate: frozenset = frozenset()) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -713,6 +795,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
       abc: f32[2, K, H, W, 3] candidate plane fields.
       ybounds: optional i32[2] local-row validity interval for spatially
         sharded bands (see _kernel); defaults to [0, H).
+      _ablate: attribution-only component knockouts (see _kernel; output
+        is garbage when non-empty -- tools/scratch_cycle.py only).
 
     Returns:
       f32[2, K, H, W] aggregated window costs (identical semantics to
@@ -721,7 +805,7 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
-                   wnd_stride=wnd_stride, ybounds=ybounds)
+                   wnd_stride=wnd_stride, ybounds=ybounds, ablate=_ablate)
 
 
 def fly_sat_cost(alpha: float, tau_clr: float, tau_grd: float) -> float:
@@ -770,7 +854,8 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
     sat = jnp.float32(fly_sat_cost(alpha, tau_clr, tau_grd))
     maxc = jnp.stack([sat, sat])
     fp = dict(alpha=alpha, tau_clr=tau_clr, tau_grd=tau_grd,
-              border_thres=border_thres, lerp=prep.lerp)
+              border_thres=border_thres, lerp=prep.lerp,
+              data_ch0=prep.data_ch0)
     return _invoke(prep, maxc, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
                    wnd_stride=wnd_stride, fly_params=fp)
@@ -778,16 +863,18 @@ def fly_plane_cost_prepared(prep: PreparedFly, abc: jax.Array, *,
 
 def prepare_cross_scale_fly(vd_imgs, *, half_wnd: int, max_dis: int,
                             th: int = 64, tw: int = 128,
-                            lerp: str = "cost"):
+                            lerp: str = "cost", vd_wgt_imgs=None):
     """prepare_fly for every pyramid level (level-s disparity bound
-    max_dis // 2^s, pre_cs_pc.cc per-level volumes)."""
+    max_dis // 2^s, pre_cs_pc.cc per-level volumes).  vd_wgt_imgs
+    optionally carries per-level weight images (Lab, cspc.cc:48-49)."""
     fine_hw = vd_imgs[0].shape[1:3]
     preps = []
     md = max_dis
     for s, img_s in enumerate(vd_imgs):
+        wgt_s = None if vd_wgt_imgs is None else vd_wgt_imgs[s]
         preps.append(prepare_fly(img_s, half_wnd=half_wnd, max_dis=md,
                                  th=th, tw=tw, scale=s, fine_hw=fine_hw,
-                                 lerp=lerp))
+                                 lerp=lerp, wgt_imgs_u8=wgt_s))
         md //= 2
     return preps
 
@@ -806,14 +893,20 @@ def cross_scale_fly_cost_prepared(preps, scale_wgts, abc: jax.Array, *,
     lerp="image" each level applies CSPC's literal image-space sub-pixel
     warp into the level-s other view (element-exact vs
     ops.onthefly_cost.cs_fly_cost)."""
+    # prepare_cross_scale_fly always builds uniform-lerp lists; a
+    # hand-built mixed list would silently evaluate non-matching levels
+    # with the wrong slab interpretation (clipped vs periodic extension)
+    assert all(p.lerp == preps[0].lerp for p in preps), \
+        "preps must share one lerp mode"
     params = plane_params(abc, th=th, tw=tw)
     sat = jnp.float32(fly_sat_cost(alpha, tau_clr, tau_grd))
     maxc = jnp.stack([sat, sat])
-    fp = dict(alpha=alpha, tau_clr=tau_clr, tau_grd=tau_grd,
-              border_thres=border_thres, lerp=preps[0].lerp)
     total = None
     md = max_dis
     for s, prep in enumerate(preps):
+        fp = dict(alpha=alpha, tau_clr=tau_clr, tau_grd=tau_grd,
+                  border_thres=border_thres, lerp=prep.lerp,
+                  data_ch0=prep.data_ch0)
         cost_s = _invoke(prep, maxc, params, half_wnd=half_wnd,
                          max_dis_s=md, gamma=gamma, th=th, tw=tw,
                          fly_params=fp)
@@ -838,14 +931,14 @@ def fly_plane_cost_pallas(imgs_u8: jax.Array, abc: jax.Array, *,
 
 
 def prepare_cross_scale(vd_imgs, vd_vols, *, half_wnd: int, th: int = 64,
-                        tw: int = 128):
+                        tw: int = 128, vol_dtype=jnp.float32):
     """Kernel layouts for every pyramid level of a VolumeData.
 
     vd_imgs[s]: u8[2, Hs, Ws, 3]; vd_vols[s]: f32[2, Hs, Ws, Ds].
     """
     fine_hw = vd_imgs[0].shape[1:3]
     return [prepare_volumes(img_s, vol_s, half_wnd=half_wnd, th=th, tw=tw,
-                            scale=s, fine_hw=fine_hw)
+                            scale=s, fine_hw=fine_hw, vol_dtype=vol_dtype)
             for s, (img_s, vol_s) in enumerate(zip(vd_imgs, vd_vols))]
 
 

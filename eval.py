@@ -66,10 +66,134 @@ CONFIGS = [
 QUICK = CONFIGS[:2]
 
 
+# Scenes for the paired use_cs ablation (--cs-ablation): the conditions
+# where CVPR 2014 cross-scale aggregation predicts gains -- weak data
+# terms (low texture), photometric noise, and natural texture spectra
+# (/root/reference/README.md:18-33; the lambda-weight machinery under
+# test is pre_cs_pc.cc:85-109).  CEN + no PP isolates the aggregation
+# effect from the post-processor.
+CS_SCENES = [
+    ("lowtex", 192, 256, 20, 8, {"texture_contrast": 0.3}),
+    ("noisy", 192, 256, 20, 8, {"noise_sigma": 4.0}),
+    ("noisy_lowtex", 192, 256, 20, 8,
+     {"noise_sigma": 4.0, "texture_contrast": 0.5}),
+    ("photo", 192, 256, 20, 8, {"photo": True}),
+    ("clean", 160, 224, 24, 4, {}),
+]
+
+
+def cs_ablation(args):
+    """Paired use_cs on/off comparison (VERDICT round-4 item 3): does
+    cross-scale aggregation actually help accuracy where the CVPR'14
+    paper says it should?  Scores engine AND oracle both ways with a
+    bootstrap CI on each CS - SS delta."""
+    import os
+    import zlib
+
+    import numpy as np
+
+    from crossscalepatchmatch_tpu import CSPMConfig, CostMethod, oracle
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.metrics import bad_pixel_rate
+    from crossscalepatchmatch_tpu.models.pipeline import run_pair_np
+
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".eval_oracle_cache.json")
+    cache = {}
+    if os.path.exists(cache_path) and not args.no_oracle_cache:
+        with open(cache_path) as f:
+            cache = json.load(f)
+
+    brng = np.random.default_rng(0)
+
+    def boot_delta(cs, ss):
+        cs, ss = np.asarray(cs, float), np.asarray(ss, float)
+        d = (brng.choice(cs, (10000, cs.size)).mean(axis=1)
+             - brng.choice(ss, (10000, ss.size)).mean(axis=1))
+        return (float(np.quantile(d, 0.025)), float(np.quantile(d, 0.975)))
+
+    rows = []
+    todo = CS_SCENES
+    if args.only:
+        names = set(args.only.split(","))
+        todo = [c for c in CS_SCENES if c[0] in names]
+    for name, h, w, max_dis, dis_scale, scene_kw in todo:
+        cseed = zlib.crc32(name.encode()) % 1000
+        scene_kw = dict(scene_kw)
+        if scene_kw.pop("photo", False):
+            from crossscalepatchmatch_tpu.data import (load_host_photo,
+                                                       photo_textures)
+            photo = load_host_photo()
+            if photo is None:
+                print(f"{name}: skipped (no host photo)", file=sys.stderr)
+                continue
+            scene_kw["textures"] = photo_textures(
+                photo, 5, h, w + max_dis + 4,
+                np.random.default_rng(cseed))
+        pair = make_pair(h=h, w=w, max_dis=max_dis, seed=cseed, **scene_kw)
+
+        row = {"scene": name}
+        for side in ("engine", "oracle"):
+            bads = {}
+            for use_cs in (False, True):
+                key = (f"csab/{name}/{use_cs}/{args.oracle_seeds}"
+                       if side == "oracle" else None)
+                if side == "oracle" and key in cache:
+                    bads[use_cs] = cache[key]
+                    continue
+                n = args.seeds if side == "engine" else args.oracle_seeds
+                scores = []
+                for seed in range(n):
+                    if side == "engine":
+                        cfg = CSPMConfig(
+                            max_dis=max_dis, dis_scale=dis_scale,
+                            cost_method=CostMethod.CEN, use_cs=use_cs,
+                            use_pp=False, scale_num=3 if use_cs else 5,
+                            reg_lambda=0.3 if use_cs else 0.0)
+                        out = run_pair_np(pair.left, pair.right, cfg,
+                                          seed=seed)
+                        disp = (out["dis"][0].astype(np.float32)
+                                / dis_scale)
+                    else:
+                        dis_o = oracle.run_pair(
+                            pair.left, pair.right, max_dis=max_dis,
+                            dis_scale=dis_scale, cc_name="CEN",
+                            use_cs=use_cs, use_pp=False,
+                            reg_lambda=0.3 if use_cs else 0.0,
+                            scale_num=3 if use_cs else 5, seed=seed)
+                        disp = (np.asarray(dis_o[0], np.float32)
+                                / dis_scale)
+                    scores.append(float(bad_pixel_rate(
+                        disp, pair.disp_left, pair.valid_left, 1.0)))
+                bads[use_cs] = scores
+                if side == "oracle":
+                    cache[key] = scores
+                    with open(cache_path, "w") as f:
+                        json.dump(cache, f)
+            lo, hi = boot_delta(bads[True], bads[False])
+            row[side] = dict(
+                ss=round(float(np.mean(bads[False])), 4),
+                cs=round(float(np.mean(bads[True])), 4),
+                delta=round(float(np.mean(bads[True])
+                                  - np.mean(bads[False])), 4),
+                delta_ci95=[round(lo, 4), round(hi, 4)])
+            print(f"{name:14s} {side:6s} ss {row[side]['ss']:.4f}  "
+                  f"cs {row[side]['cs']:.4f}  delta "
+                  f"{row[side]['delta']:+.4f} "
+                  f"[{lo:+.4f}, {hi:+.4f}]", file=sys.stderr, flush=True)
+        rows.append(row)
+
+    print(json.dumps({"metric": "cs_ablation_bad_pixel", "rows": rows}))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="first two configs only")
+    ap.add_argument("--cs-ablation", action="store_true",
+                    help="paired use_cs on/off comparison on the scenes "
+                         "where cross-scale aggregation should help")
     ap.add_argument("--seeds", type=int, default=5,
                     help="engine seeds per config (mean is scored)")
     ap.add_argument("--oracle_seeds", type=int, default=5,
@@ -111,6 +235,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
+
+    if args.cs_ablation:
+        return cs_ablation(args)
 
     from crossscalepatchmatch_tpu import CSPMConfig, CostMethod, oracle
     from crossscalepatchmatch_tpu.data import make_pair

@@ -338,9 +338,18 @@ class TestLabWeights:
         bad = bad_pixel_rate(disp, pair.disp_left, pair.valid_left, 1.0)
         assert bad < 0.25, f"literal-fly lab bad-pixel too high: {bad:.3f}"
 
-    def test_lab_weights_fused_fly_rejected(self):
+    def test_lab_weights_fused_fly_builds(self):
+        """Round 5 closed the one rejected config square: the fused
+        no-volume fly kernel accepts Lab weights via a prefixed
+        weight-channel slab (numerics covered by tests/test_pallas.py
+        lab tests and tests_tpu on hardware)."""
         cfg = small_cfg(precompute_volume=False, use_lab_weights=True,
                         adopt_mode="exact", prescreen_stride=1)
         imgs = jnp.zeros((32, 48, 3), jnp.uint8)
-        with pytest.raises(ValueError, match="use_lab_weights"):
-            pm.make_fused_fly_cost_fns(cfg, imgs, imgs)
+        cost_fn, sparse_fn = pm.make_fused_fly_cost_fns(cfg, imgs, imgs)
+        assert cost_fn is not None
+        cfg_cs = small_cfg(precompute_volume=False, use_lab_weights=True,
+                           use_cs=True, scale_num=2, reg_lambda=0.3,
+                           adopt_mode="exact", prescreen_stride=1)
+        cost_cs, _ = pm.make_fused_fly_cost_fns(cfg_cs, imgs, imgs)
+        assert cost_cs is not None

@@ -403,3 +403,156 @@ def test_fly_cs_image_lerp_matches_literal_cspc_interpret():
     # amplification of plane-eval ULP differences).
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=2e-3)
+
+
+def _plane_batch(key, k, h, w, d, spread=1.0):
+    ka, kd = jax.random.split(key)
+    ab = jax.random.uniform(ka, (2, k, h, w, 2), jnp.float32,
+                            -spread, spread)
+    dc = jax.random.uniform(kd, (2, k, h, w), jnp.float32, 0, d)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    c = dc - ab[..., 0] * xs - ab[..., 1] * ys
+    return jnp.concatenate([ab, c[..., None]], axis=-1)
+
+
+def test_fly_lab_weights_cost_mode_interpret():
+    """use_lab_weights on the fused no-volume fly kernel (round 5): the
+    prefixed Lab weight-channel slab (prepare_fly wgt_imgs_u8) must
+    reproduce the jnp window cost whose WEIGHT image is the Lab
+    conversion while the volume stays the GRD data volume
+    (grd_pc.h:25, grd_pc.cc:31-35 capability on the kernel path)."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_lab_u8, bgr_to_rgb
+    from crossscalepatchmatch_tpu.ops.grad_cost import grd_cost_volume
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_prepared, fly_sat_cost, prepare_fly)
+
+    h, w, d, wnd = 24, 40, 8, 5
+    key = jax.random.PRNGKey(3)
+    k1, k3 = jax.random.split(key)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    lab = bgr_to_lab_u8(imgs)
+    lr = bgr_to_rgb(imgs[0]).astype(jnp.float32)
+    rr = bgr_to_rgb(imgs[1]).astype(jnp.float32)
+    vols = jnp.stack([grd_cost_volume(lr, rr, d),
+                      grd_cost_volume(lr, rr, d, right=True)])
+    mc = jnp.full((2,), fly_sat_cost(0.1, 10.0, 2.0), jnp.float32)
+    abc = _plane_batch(k3, 3, h, w, d)
+
+    with pltpu.force_tpu_interpret_mode():
+        prep = prepare_fly(imgs, half_wnd=wnd // 2, max_dis=d, th=8,
+                           tw=128, wgt_imgs_u8=lab)
+        assert prep.data_ch0 == 3
+        got = fly_plane_cost_prepared(prep, abc, half_wnd=wnd // 2,
+                                      max_dis=d, gamma=10.0, th=8, tw=128)
+    want = jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
+            lab, vols, mc, abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fly_lab_weights_image_lerp_matches_literal_interpret():
+    """Lab ASW weights + the literal image-space lerp mode vs the jnp
+    grd_fly_cost authority with ref_wgt (the exact configuration the
+    round-4 kernel rejected)."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_lab_u8
+    from crossscalepatchmatch_tpu.ops.onthefly_cost import (grd_fly_cost,
+                                                            gray_gradient)
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_prepared, prepare_fly)
+
+    h, w, d, wnd = 24, 40, 8, 5
+    key = jax.random.PRNGKey(13)
+    k1, k3 = jax.random.split(key)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    lab = bgr_to_lab_u8(imgs)
+    grd = gray_gradient(imgs)
+    abc = _plane_batch(k3, 3, h, w, d)
+
+    with pltpu.force_tpu_interpret_mode():
+        prep = prepare_fly(imgs, half_wnd=wnd // 2, max_dis=d, th=8,
+                           tw=128, lerp="image", wgt_imgs_u8=lab)
+        got = fly_plane_cost_prepared(prep, abc, half_wnd=wnd // 2,
+                                      max_dis=d, gamma=10.0, th=8, tw=128)
+    kw = dict(half_wnd=wnd // 2, max_dis=d, gamma=10.0)
+    want = jnp.stack([
+        grd_fly_cost(imgs[0], imgs[1], grd[0], grd[1], abc[0], sign=-1,
+                     ref_wgt=lab[0], **kw),
+        grd_fly_cost(imgs[1], imgs[0], grd[1], grd[0], abc[1], sign=+1,
+                     ref_wgt=lab[1], **kw)])
+    # atol: see test_fly_image_lerp_matches_literal_grd_pc_interpret
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fly_cs_lab_weights_matches_literal_interpret():
+    """Cross-scale fly + per-level Lab weight slabs (cspc.cc:48-49) vs
+    the jnp cs_fly_cost authority with pyr_wgt_ref."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_lab_u8
+    from crossscalepatchmatch_tpu.ops.onthefly_cost import (cs_fly_cost,
+                                                            gray_gradient)
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        cross_scale_fly_cost_prepared, prepare_cross_scale_fly)
+    from crossscalepatchmatch_tpu.ops.pyramid import build_pyramid
+
+    h, w, d, wnd, levels = 32, 48, 12, 5, 2
+    key = jax.random.PRNGKey(17)
+    k1, k3 = jax.random.split(key)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    l_pyr = build_pyramid(imgs[0], levels)
+    r_pyr = build_pyramid(imgs[1], levels)
+    l_grd = [gray_gradient(im) for im in l_pyr]
+    r_grd = [gray_gradient(im) for im in r_pyr]
+    pyr_imgs = [jnp.stack([l_pyr[s], r_pyr[s]]) for s in range(levels)]
+    pyr_lab = [bgr_to_lab_u8(im) for im in pyr_imgs]
+    wgts = (0.6, 0.4)
+    abc = _plane_batch(k3, 2, h, w, d, spread=0.5)
+
+    with pltpu.force_tpu_interpret_mode():
+        preps = prepare_cross_scale_fly(pyr_imgs, half_wnd=wnd // 2,
+                                        max_dis=d, th=8, tw=128,
+                                        lerp="image", vd_wgt_imgs=pyr_lab)
+        got = cross_scale_fly_cost_prepared(
+            preps, wgts, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
+            th=8, tw=128)
+    kw = dict(half_wnd=wnd // 2, max_dis=d, gamma=10.0)
+    want = jnp.stack([
+        cs_fly_cost(l_pyr, r_pyr, l_grd, r_grd, wgts, abc[0], sign=-1,
+                    pyr_wgt_ref=[im[0] for im in pyr_lab], **kw),
+        cs_fly_cost(r_pyr, l_pyr, r_grd, l_grd, wgts, abc[1], sign=+1,
+                    pyr_wgt_ref=[im[1] for im in pyr_lab], **kw)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_kernel_bf16_volume_close_to_f32_interpret():
+    """vol_dtype="bf16" (round 5): the kernel contracts a bf16-stored
+    volume with f32 accumulation.  Tolerance is the bf16 mantissa bound
+    on the stored slice values (2^-9 relative), NOT exactness -- the
+    element-exact contract stays with f32."""
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        prepare_volumes, window_plane_cost_prepared)
+
+    h, w, d, wnd = 24, 40, 8, 5
+    key = jax.random.PRNGKey(21)
+    k1, k2, k3 = jax.random.split(key, 3)
+    imgs = jax.random.randint(k1, (2, h, w, 3), 0, 255, jnp.uint8)
+    vols = jax.random.uniform(k2, (2, h, w, d + 1), jnp.float32) * 2.8
+    mc = jnp.max(vols, axis=(1, 2, 3))
+    abc = _plane_batch(k3, 3, h, w, d)
+
+    with pltpu.force_tpu_interpret_mode():
+        prep = prepare_volumes(imgs, vols, half_wnd=wnd // 2, th=8,
+                               tw=128, vol_dtype=jnp.bfloat16)
+        assert prep.vol_p.dtype == jnp.bfloat16
+        assert prep.vol_p.shape[2] % 16 == 0
+        got = window_plane_cost_prepared(
+            prep, mc, abc, half_wnd=wnd // 2, max_dis=d, gamma=10.0,
+            th=8, tw=128)
+    want = jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))(
+            imgs, vols, mc, abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-3, atol=4e-3)

@@ -335,3 +335,88 @@ def test_fly_image_lerp_exact_vs_literal():
     # ULP differences by 0..255 channel values (see tests/test_pallas.py)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=2e-3)
+
+
+def test_fly_lab_weights_exact_on_hardware():
+    """use_lab_weights on the fused no-volume fly kernel (round 5): the
+    prefixed Lab weight-channel slab must be element-exact vs the volume
+    kernel evaluated with the Lab image as its weight input (the
+    grd_pc.h:25 capability on the kernel path; closes the one config
+    combination round 4 rejected)."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_lab_u8, bgr_to_rgb
+    from crossscalepatchmatch_tpu.ops.grad_cost import grd_cost_volume
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_prepared, fly_sat_cost, prepare_fly,
+        window_plane_cost_pallas)
+
+    h, w, d, wnd, k = 96, 130, 20, 35, 2
+    imgs, _, _, abc = _mk(h, w, d, k)
+    lab = bgr_to_lab_u8(imgs)
+    lr = bgr_to_rgb(imgs[0]).astype(jnp.float32)
+    rr = bgr_to_rgb(imgs[1]).astype(jnp.float32)
+    vols = jnp.stack([grd_cost_volume(lr, rr, d),
+                      grd_cost_volume(lr, rr, d, right=True)])
+    mc = jnp.full((2,), fly_sat_cost(0.1, 10.0, 2.0), jnp.float32)
+    prep = prepare_fly(imgs, half_wnd=wnd // 2, max_dis=d,
+                       wgt_imgs_u8=lab)
+    got = fly_plane_cost_prepared(prep, abc, half_wnd=wnd // 2,
+                                  max_dis=d, gamma=10.0)
+    want = window_plane_cost_pallas(lab, vols, mc, abc, half_wnd=wnd // 2,
+                                    max_dis=d, gamma=10.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fly_lab_weights_image_lerp_vs_literal_on_hardware():
+    """Lab weights + the literal image-lerp fly mode on hardware vs the
+    CPU jnp authority (grd_fly_cost with ref_wgt)."""
+    from crossscalepatchmatch_tpu.ops.color import bgr_to_lab_u8
+    from crossscalepatchmatch_tpu.ops.onthefly_cost import (grd_fly_cost,
+                                                            gray_gradient)
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        fly_plane_cost_prepared, prepare_fly)
+
+    h, w, d, wnd, k = 96, 130, 20, 35, 2
+    imgs, _, _, abc = _mk(h, w, d, k)
+    lab = bgr_to_lab_u8(imgs)
+    prep = prepare_fly(imgs, half_wnd=wnd // 2, max_dis=d, lerp="image",
+                       wgt_imgs_u8=lab)
+    got = fly_plane_cost_prepared(prep, abc, half_wnd=wnd // 2,
+                                  max_dis=d, gamma=10.0)
+
+    cpu = jax.devices("cpu")[0]
+    imgs_c = jax.device_put(imgs, cpu)
+    lab_c = jax.device_put(lab, cpu)
+    abc_c = jax.device_put(abc, cpu)
+    with jax.default_device(cpu):
+        grd_c = gray_gradient(imgs_c)
+        kw = dict(half_wnd=wnd // 2, max_dis=d, gamma=10.0)
+        want = jnp.stack([
+            grd_fly_cost(imgs_c[0], imgs_c[1], grd_c[0], grd_c[1],
+                         abc_c[0], sign=-1, ref_wgt=lab_c[0], **kw),
+            grd_fly_cost(imgs_c[1], imgs_c[0], grd_c[1], grd_c[0],
+                         abc_c[1], sign=+1, ref_wgt=lab_c[1], **kw)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_kernel_bf16_volume_close_to_f32_on_hardware():
+    """vol_dtype="bf16" on real hardware: the relaxed-tolerance twin of
+    test_kernel_exact_vs_jnp (VERDICT round-4 item 1's accuracy gate --
+    the tolerance is the bf16 mantissa bound on stored slice values, the
+    parity matrix bound stays with eval.py)."""
+    from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+        prepare_volumes, window_plane_cost_prepared)
+    from crossscalepatchmatch_tpu.ops.plane_cost import window_plane_cost
+
+    h, w, d, wnd, k = 128, 188, 60, 35, 4
+    imgs, vols, mc, abc = _mk(h, w, d, k)
+    prep = prepare_volumes(imgs, vols, half_wnd=wnd // 2,
+                           vol_dtype=jnp.bfloat16)
+    got = window_plane_cost_prepared(prep, mc, abc, half_wnd=wnd // 2,
+                                     max_dis=d, gamma=10.0)
+    want = jax.jit(jax.vmap(lambda i, v, m, a: window_plane_cost(
+        i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0)))(
+            imgs, vols, mc, abc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=4e-3, atol=4e-3)

@@ -1,0 +1,59 @@
+"""Repro: vmapping the volume-path window-cost kernel over B >= 3 pairs
+crashes the Mosaic/XLA:TPU compile helper.
+
+Round-4 background (BASELINE.md "Single-chip multi-pair batching"): a
+vmapped multi-pair pipeline -- Pallas kernels batch by growing the
+kernel grid with a leading batch dimension -- measured no throughput win
+at B=2 (0.93-0.96x single rate) and at B >= 3 the volume-path compile
+crashed the remote compile helper (HTTP 500 from tpu_compile_helper,
+subprocess exit 1 -- a compiler-side abort, not a Python error).  The
+shipped models.pipeline.run_pairs therefore batches with lax.map
+(sequential on-device, measured 1.00x single rate) instead of vmap.
+
+This script reproduces the B >= 3 compile in isolation so the lax.map
+workaround can be retired if an upstream Mosaic fix lands:
+
+    python tools/repro_vmap_volume_compile_crash.py [--b 3]
+
+If it prints "NO CRASH", the compile helper survived: re-evaluate
+vmapped batching in models.pipeline.run_pairs (its round-4 measurements
+still say lax.map is the right default -- one pair saturates the chip).
+
+Environment pinned at filing (round 5, 2026-08-20): jax 0.9.0, TPU v5e
+(v5 lite) through the axon tunnel, single chip.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+assert jax.default_backend() == "tpu", "repro needs the TPU backend"
+
+from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
+    window_plane_cost_pallas)
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--b", type=int, default=3,
+                help="batch size (2 compiled in round 4; >= 3 crashed)")
+args = ap.parse_args()
+
+# bench-scale geometry (the round-4 crash was at 375x450 d=60; kept
+# moderate here so the compile attempt itself is quick)
+b, h, w, d, wnd, k = args.b, 192, 256, 32, 35, 2
+rng = np.random.default_rng(0)
+imgs = jnp.asarray(rng.integers(0, 255, (b, 2, h, w, 3)), jnp.uint8)
+vols = jnp.asarray(rng.random((b, 2, h, w, d + 1), np.float32))
+mc = jnp.max(vols, axis=(2, 3, 4))
+abc = jnp.asarray(rng.random((b, 2, k, h, w, 3), np.float32))
+
+f = jax.vmap(lambda i, v, m, a: window_plane_cost_pallas(
+    i, v, m, a, half_wnd=wnd // 2, max_dis=d, gamma=10.0))
+
+print(f"compiling vmapped volume kernel at B={b} "
+      "(expected for B >= 3: tpu_compile_helper HTTP 500)...", flush=True)
+out = f(imgs, vols, mc, abc)
+print("NO CRASH:", float(jnp.sum(out)),
+      "-- compile helper survived; re-evaluate vmapped run_pairs "
+      "(round-4 measurements still favor lax.map).")
