@@ -133,7 +133,11 @@ def cs_ablation(args):
         pair = make_pair(h=h, w=w, max_dis=max_dis, seed=cseed, **scene_kw)
 
         row = {"scene": name}
-        for side in ("engine", "oracle"):
+        # --seeds 0 / --oracle_seeds 0 skip that side (e.g. pre-warming
+        # the oracle cache on CPU while the TPU is busy elsewhere)
+        sides = [s for s, n in (("engine", args.seeds),
+                                ("oracle", args.oracle_seeds)) if n > 0]
+        for side in sides:
             bads = {}
             for use_cs in (False, True):
                 key = (f"csab/{name}/{use_cs}/{args.oracle_seeds}"
