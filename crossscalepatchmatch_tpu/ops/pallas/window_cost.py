@@ -142,7 +142,8 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             scale: int = 0, ws: int = 0,
             wstride: int = 1,
             fly: dict | None = None,
-            ablate: frozenset = frozenset()):
+            ablate: frozenset = frozenset(),
+            wgt_hoist: bool = False):
     """One (view, tile_y, tile_x, candidate, dy) grid step.
 
     img_hbm: f32[2, 3, Hp, Wp] HBM   (padded by mg = hb << scale on every
@@ -352,7 +353,7 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
         vol_b = vol_tile[pl.ds(mg + sy, th), :, :]
     d_io = jax.lax.broadcasted_iota(
         jnp.int32, (th, dpad, tw), 1).astype(jnp.float32)
-    for dxi in range(n_dx):
+    def dx_parts(dxi):
         dx = dxi * wstride + o_start
         off = 0 if "slice" in ablate else (dx + hb) * step  # static lanes
         q = [q_rows[p][:, off:off + tw] for p in range(3)]
@@ -367,6 +368,20 @@ def _kernel(maxc_ref, yb_ref, img_hbm, vol_hbm, abc_ref, out_ref,
             wgt = jnp.where(q_ok,
                             l1 * inv_gamma if "exp" in ablate
                             else jnp.exp(-l1 * inv_gamma), 0.0)
+        return dx, off, fx, q, wgt
+
+    # wgt_hoist: compute every dx offset's ASW weight plane BEFORE the
+    # depth-contraction loop -- identical math and accumulation order,
+    # bitwise-same output, but Mosaic schedules the low-ILP weight
+    # chain apart from the VMEM-heavy contraction.  Measured round 5 at
+    # bench shape: K=1 full-window 72.3 -> 66.9 ms/launch (-7.5%; the
+    # attribution showed the interleaved weight phase at ~0.27 Tops/s,
+    # 12x under the ALU ceiling), but K=2 +2.4% and strided prescreen
+    # launches neutral -- so _invoke's auto policy hoists K=1 only.
+    pre = ([dx_parts(i) for i in range(n_dx)]
+           if wgt_hoist and not image_lerp else None)
+    for dxi in range(n_dx):
+        dx, off, fx, q, wgt = pre[dxi] if pre is not None else dx_parts(dxi)
         dq = p0 + pa * jnp.float32(dx) + pb * dyf
         f = jnp.trunc(dq)
         in_range = (f >= 1.0) & (f <= jnp.float32(max_dis - 1))
@@ -681,7 +696,8 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
             tw: int, wnd_stride: int = 1,
             ybounds: jax.Array | None = None,
             fly_params: dict | None = None,
-            ablate: frozenset = frozenset()) -> jax.Array:
+            ablate: frozenset = frozenset(),
+            wgt_hoist: bool | None = None) -> jax.Array:
     """Run the kernel for one (possibly upsampled) pyramid level.
 
     prep: PreparedVolumes (fly_params None) or PreparedFly (fly_params =
@@ -717,11 +733,16 @@ def _invoke(prep, max_costs: jax.Array, params: jax.Array,
         ybounds = jnp.array([0, prep.hs << prep.scale,
                              0, prep.ws << prep.scale], jnp.int32)
 
+    if wgt_hoist is None:
+        # auto policy: hoisting the weight planes ahead of the depth
+        # contraction wins only on K=1 full-window launches (round-5
+        # A/B: K=1 -7.5%, K=2 +2.4%, strided prescreen neutral)
+        wgt_hoist = k == 1 and wnd_stride == 1
     kern = functools.partial(
         _kernel, hb=hb, wnd=wnd, th=th, tw=tw, dpad=dpad,
         max_dis=max_dis_s, gamma=gamma, k=k,
         scale=prep.scale, ws=prep.ws, wstride=wnd_stride,
-        fly=fly_params, ablate=ablate)
+        fly=fly_params, ablate=ablate, wgt_hoist=wgt_hoist)
 
     # fly tiles carry (B, G, R, grad), plus a 3-channel Lab weight slab
     # prefix when data_ch0 > 0 (prepare_fly wgt_imgs_u8)
@@ -786,7 +807,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
                                tw: int = 128,
                                wnd_stride: int = 1,
                                ybounds: jax.Array | None = None,
-                               _ablate: frozenset = frozenset()) -> jax.Array:
+                               _ablate: frozenset = frozenset(),
+                               _wgt_hoist: bool | None = None) -> jax.Array:
     """Fused window plane cost over pre-laid-out volumes.
 
     Args:
@@ -805,7 +827,8 @@ def window_plane_cost_prepared(prep: PreparedVolumes, max_costs: jax.Array,
     params = plane_params(abc, th=th, tw=tw)
     return _invoke(prep, max_costs, params, half_wnd=half_wnd,
                    max_dis_s=max_dis, gamma=gamma, th=th, tw=tw,
-                   wnd_stride=wnd_stride, ybounds=ybounds, ablate=_ablate)
+                   wnd_stride=wnd_stride, ybounds=ybounds, ablate=_ablate,
+                   wgt_hoist=_wgt_hoist)
 
 
 def fly_sat_cost(alpha: float, tau_clr: float, tau_grd: float) -> float:

@@ -24,7 +24,10 @@ Environment pinned at filing (round 5, 2026-08-20): jax 0.9.0, TPU v5e
 (v5 lite) through the axon tunnel, single chip.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if "--crash" not in sys.argv:
     print(__doc__)

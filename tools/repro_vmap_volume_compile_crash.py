@@ -19,11 +19,22 @@ If it prints "NO CRASH", the compile helper survived: re-evaluate
 vmapped batching in models.pipeline.run_pairs (its round-4 measurements
 still say lax.map is the right default -- one pair saturates the chip).
 
-Environment pinned at filing (round 5, 2026-08-20): jax 0.9.0, TPU v5e
-(v5 lite) through the axon tunnel, single chip.
+RESULT AT FILING (round 5, 2026-08-20; jax 0.9.0, TPU v5e through the
+axon tunnel): the ISOLATED kernel vmap compiles clean at B=3 both at
+the default geometry and at the bench geometry (--h 375 --w 450 --d
+60) -- the round-4 crash evidently needed the full vmapped PIPELINE
+program around the kernels (deleted in round 4; reconstructing it just
+to crash a compiler was judged not worth it).  The lax.map batching in
+run_pairs stands on its measured merits (1.00x single rate, dispatch
+robustness) independent of the compiler bug, so nothing is blocked on
+an upstream fix; this script remains as the quick kernel-level probe.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +48,14 @@ from crossscalepatchmatch_tpu.ops.pallas.window_cost import (
 ap = argparse.ArgumentParser()
 ap.add_argument("--b", type=int, default=3,
                 help="batch size (2 compiled in round 4; >= 3 crashed)")
+ap.add_argument("--h", type=int, default=192)
+ap.add_argument("--w", type=int, default=256)
+ap.add_argument("--d", type=int, default=32)
 args = ap.parse_args()
 
-# bench-scale geometry (the round-4 crash was at 375x450 d=60; kept
-# moderate here so the compile attempt itself is quick)
-b, h, w, d, wnd, k = args.b, 192, 256, 32, 35, 2
+# default geometry is moderate so the compile attempt is quick; the
+# round-4 crash was at the bench geometry: --h 375 --w 450 --d 60
+b, h, w, d, wnd, k = args.b, args.h, args.w, args.d, 35, 2
 rng = np.random.default_rng(0)
 imgs = jnp.asarray(rng.integers(0, 255, (b, 2, h, w, 3)), jnp.uint8)
 vols = jnp.asarray(rng.random((b, 2, h, w, d + 1), np.float32))

@@ -18,6 +18,8 @@ if "--cold" not in sys.argv:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 
 from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
@@ -49,7 +51,16 @@ for name, fn, k in (("full K=1", cost_fn, 1), ("full K=2", cost_fn, 2),
     lo = jf.lower(a)
     t_lo = time.perf_counter() - t0
     t0 = time.perf_counter()
-    lo.compile()
+    try:
+        lo.compile()
+    except Exception as e:  # noqa: BLE001
+        # standalone jit of the quadrant sparse_fn embeds the ~350 MB
+        # bq/wq volumes as CONSTANTS and overflows the remote compile
+        # service's request limit (HTTP 413) -- a driver artifact; in
+        # the pipeline they are traced values and compile fine
+        print(f"{name}: compile failed ({type(e).__name__}: "
+              f"{str(e).splitlines()[0][:90]})", flush=True)
+        continue
     print(f"{name}: lower {t_lo:.1f}s compile {time.perf_counter()-t0:.1f}s",
           flush=True)
 
