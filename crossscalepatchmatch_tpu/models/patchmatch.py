@@ -276,14 +276,20 @@ def make_cost_fns(cfg: CSPMConfig,
                          else None)
     if cfg.use_cs:
         if jax.default_backend() == "tpu":
-            # The jnp upsampled cross-scale path is known to crash the
-            # XLA:TPU worker at the default window size (an XLA:TPU
-            # lowering bug on the upsampled-roll gather pattern, not an
-            # engine bug); never select it on TPU.
+            # The jnp upsampled cross-scale path crashes the XLA:TPU
+            # worker ("TPU worker process crashed or restarted") when it
+            # runs inside the full optimizer pipeline -- an XLA:TPU bug,
+            # not an engine bug; never select it on TPU.  Round-5 update
+            # (jax 0.9.0): STANDALONE evaluations now survive at every
+            # shape up to the full production geometry, but the pipeline
+            # still kills the worker -- tools/repro_jnp_cs_tpu_crash.py
+            # reproduces both (run with --crash --pipeline) so the guard
+            # can be retired when the pipeline form stops crashing.
             raise RuntimeError(
                 "the jnp cross-scale plane cost is not supported on TPU "
-                "(it crashes the XLA:TPU worker at wnd_size=35); use the "
-                "fused kernel path (use_pallas=True) or run on CPU")
+                "(it crashes the XLA:TPU worker inside the optimizer "
+                "pipeline); use the fused kernel path (use_pallas=True) "
+                "or run on CPU")
         wgts = tuple(float(x) for x in
                      scale_weights(cfg.scale_num, cfg.reg_lambda))
 

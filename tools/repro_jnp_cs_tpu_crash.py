@@ -1,27 +1,32 @@
-"""Repro: the jnp (non-Pallas) upsampled cross-scale plane cost crashes
-the XLA:TPU worker at the production window size.
+"""Repro: the jnp (non-Pallas) cross-scale plane cost crashes the
+XLA:TPU worker when it runs inside the full optimizer pipeline.
 
-This is the upstream compiler/runtime bug behind the TPU guard at
+This is the upstream compiler/runtime bug behind the TPU guard in
 models/patchmatch.py (make_cost_fns raises RuntimeError "not supported
-on TPU" instead of selecting the jnp cross-scale path): the
-upsampled-roll gather pattern of ops.plane_cost.window_plane_cost_upsampled
-at wnd_size=35 aborts the TPU worker process -- not a Python exception,
-the whole runtime dies (observed rounds 2-4; the Pallas kernel is the
-only TPU cross-scale path because of it).
+on TPU" instead of selecting the jnp cross-scale path): with the
+upsampled-roll gather pattern of ops.plane_cost inside the PatchMatch
+optimizer program, the TPU worker process aborts ("UNAVAILABLE: TPU
+worker process crashed or restarted") -- not a Python exception, the
+whole runtime dies.  The Pallas kernel is the production TPU
+cross-scale path because of it.
 
-WARNING: running this WILL likely kill the TPU runtime for this process
-(and can wedge the device tunnel for a while).  Run it only to check
-whether an upstream fix has landed:
+ROUND-5 NARROWING (jax 0.9.0, TPU v5e, 2026-08-20, both forms run):
+  * STANDALONE cross_scale_plane_cost evaluations now SURVIVE at every
+    shape tried, up to the full production geometry (375x450, d=60,
+    wnd=35, 5 levels) -- rounds 2-4 reported even single evaluations
+    aborting, so upstream has improved;
+  * the FULL PIPELINE form (this script with --pipeline; 96x130, d=16,
+    wnd=35, 2 levels, ONE optimizer iteration) still kills the worker.
+The guard therefore stays, scoped to the pipeline reality; retire it
+(and this script) when --pipeline prints NO CRASH.
 
-    python tools/repro_jnp_cs_tpu_crash.py          # refuses to run
-    python tools/repro_jnp_cs_tpu_crash.py --crash  # actually runs
+WARNING: --pipeline WILL kill this process's TPU runtime (the tunnel
+recovers for new processes).  Usage:
 
-If it completes and prints "NO CRASH", the upstream bug is fixed: retire
-this script and the guard in models/patchmatch.py (and re-enable the jnp
-cross-scale path on TPU as a fallback).
-
-Environment pinned at filing (round 5, 2026-08-20): jax 0.9.0, TPU v5e
-(v5 lite) through the axon tunnel, single chip.
+    python tools/repro_jnp_cs_tpu_crash.py                   # refuses
+    python tools/repro_jnp_cs_tpu_crash.py --crash           # standalone eval form
+    python tools/repro_jnp_cs_tpu_crash.py --crash --bench-shape  # ... at 375x450x5L
+    python tools/repro_jnp_cs_tpu_crash.py --crash --pipeline     # the crashing form
 """
 
 import os
@@ -38,9 +43,59 @@ import jax.numpy as jnp
 
 assert jax.default_backend() == "tpu", "repro needs the TPU backend"
 
-from crossscalepatchmatch_tpu.ops.plane_cost import cross_scale_plane_cost
+if "--pipeline" in sys.argv:
+    # The form that still crashes: the jnp cross-scale cost fn INSIDE the
+    # optimizer pipeline.  Constructed directly (models.patchmatch's
+    # make_cost_fns guards this path off on TPU).
+    import functools
 
-h, w, max_dis, wnd, levels = 96, 130, 20, 35, 2
+    import numpy as np
+
+    from crossscalepatchmatch_tpu import CSPMConfig, CostMethod
+    from crossscalepatchmatch_tpu.data import make_pair
+    from crossscalepatchmatch_tpu.models import patchmatch as pm
+    from crossscalepatchmatch_tpu.ops.cost_volume import build_volume_data
+    from crossscalepatchmatch_tpu.ops.plane_cost import (
+        cross_scale_plane_cost)
+    from crossscalepatchmatch_tpu.ops.scale_weights import scale_weights
+
+    cfg = CSPMConfig(max_dis=16, dis_scale=8, cost_method=CostMethod.CEN,
+                     use_cs=True, scale_num=2, reg_lambda=0.3,
+                     use_pallas=False, max_iter=1, adopt_mode="exact",
+                     prescreen_stride=1)
+    pair = make_pair(h=96, w=130, max_dis=16, seed=2)
+    vd = build_volume_data(jnp.asarray(pair.left), jnp.asarray(pair.right),
+                           cfg)
+    wgts = tuple(float(x) for x in
+                 scale_weights(cfg.scale_num, cfg.reg_lambda))
+
+    def eval_view(imgs, vols, max_costs, abc):
+        return cross_scale_plane_cost(
+            imgs, vols, max_costs, wgts, abc, half_wnd=cfg.half_wnd,
+            max_dis=cfg.max_dis, gamma=cfg.wgt_gamma)
+
+    def cost_fn(abc2):
+        return jax.vmap(eval_view)(vd.weight_imgs, vd.vols, vd.max_costs,
+                                   abc2)
+
+    print("running ONE optimizer iteration on the jnp cross-scale cost "
+          "(expected: TPU worker abort)...", flush=True)
+    run = jax.jit(functools.partial(pm.patchmatch, hw=(96, 130),
+                                    cost_fn=cost_fn, cfg=cfg))
+    state = run(jax.random.PRNGKey(0))
+    print("NO CRASH:", float(jnp.sum(state.cost)),
+          "-- pipeline form survived; retire the TPU guard in "
+          "models/patchmatch.py and this script.")
+    sys.exit(0)
+
+from crossscalepatchmatch_tpu.ops.plane_cost import cross_scale_plane_cost
+from crossscalepatchmatch_tpu.ops.scale_weights import scale_weights
+
+if "--bench-shape" in sys.argv:
+    # the shape the production pipeline would evaluate
+    h, w, max_dis, wnd, levels = 375, 450, 60, 35, 5
+else:
+    h, w, max_dis, wnd, levels = 96, 130, 20, 35, 2
 
 key = jax.random.PRNGKey(0)
 k1, k2, k3 = jax.random.split(key, 3)
@@ -56,11 +111,12 @@ for s in range(levels):
 max_costs = jnp.ones((levels,), jnp.float32)
 abc = jax.random.uniform(k3, (1, h, w, 3), jnp.float32, -1, 1)
 
-print("evaluating jnp cross-scale plane cost at wnd=35 on TPU "
-      "(expected: XLA:TPU worker abort)...", flush=True)
-out = cross_scale_plane_cost(imgs, vols, max_costs, (0.6, 0.4), abc,
+wgts = tuple(float(x) for x in scale_weights(levels, 0.3))
+print("evaluating the STANDALONE jnp cross-scale plane cost at wnd=35 "
+      "on TPU (round-5 observation: this form no longer crashes)...",
+      flush=True)
+out = cross_scale_plane_cost(imgs, vols, max_costs, wgts, abc,
                              half_wnd=wnd // 2, max_dis=max_dis,
                              gamma=10.0)
-print("NO CRASH: worker survived; upstream bug appears fixed -- retire "
-      "this script and the TPU guard in models/patchmatch.py.",
-      float(jnp.sum(out)))
+print("standalone eval survived:", float(jnp.sum(out)),
+      "(expected since round 5; the crashing form is --pipeline)")
