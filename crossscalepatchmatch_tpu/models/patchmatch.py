@@ -196,14 +196,31 @@ def _vol_dtype(cfg: CSPMConfig):
     return jnp.bfloat16 if cfg.vol_dtype == "bf16" else jnp.float32
 
 
-def _volume_sparse_fn(cfg: CSPMConfig, vd: VolumeData) -> CostFn:
-    """Quadrant-volume prescreen evaluator (cfg.prescreen_mode="volume")."""
+def _volume_sparse_fn(cfg: CSPMConfig, vd: VolumeData,
+                      prep=None) -> CostFn:
+    """Quadrant-volume prescreen evaluator (cfg.prescreen_mode="volume").
+
+    `prep` (a scale-0 PreparedVolumes already built for the window-cost
+    kernel) switches the one-time quadrant aggregation to the fused
+    Pallas build (ops.pallas.quadrant_build) -- element-exact vs the jnp
+    build, but the tile accumulators live in VMEM across all window
+    offsets instead of round-tripping [H, W, D] through HBM per offset
+    (measured round 5: 175 -> ~10 ms at bench shape, 15% of the
+    pipeline).  The ranking evaluator itself stays jnp either way.
+    """
     from ..ops.prescreen_volume import (build_quadrant_volumes,
                                         quadrant_prescreen_cost)
-    build = functools.partial(build_quadrant_volumes,
-                              half_wnd=cfg.half_wnd, gamma=cfg.wgt_gamma,
-                              stride=max(cfg.prescreen_stride, 1))
-    bq, wq = jax.vmap(build)(vd.weight_imgs[0], vd.vols[0])
+    if prep is not None and _pallas_enabled(cfg):
+        from ..ops.pallas.quadrant_build import quadrant_volumes_prepared
+        bq, wq = quadrant_volumes_prepared(
+            prep, half_wnd=cfg.half_wnd, gamma=cfg.wgt_gamma,
+            stride=max(cfg.prescreen_stride, 1))
+    else:
+        build = functools.partial(build_quadrant_volumes,
+                                  half_wnd=cfg.half_wnd,
+                                  gamma=cfg.wgt_gamma,
+                                  stride=max(cfg.prescreen_stride, 1))
+        bq, wq = jax.vmap(build)(vd.weight_imgs[0], vd.vols[0])
     max_costs = vd.max_costs[0]
     rank = functools.partial(quadrant_prescreen_cost,
                              half_wnd=cfg.half_wnd, max_dis=cfg.max_dis)
@@ -250,7 +267,7 @@ def make_cost_fns(cfg: CSPMConfig,
 
         cost_fn = functools.partial(kernel_fn, stride=1)
         if volume_mode:
-            sparse_fn = _volume_sparse_fn(cfg, vd)
+            sparse_fn = _volume_sparse_fn(cfg, vd, prep=prep)
         elif want_sparse:
             sparse_fn = functools.partial(kernel_fn,
                                           stride=cfg.prescreen_stride)
@@ -272,8 +289,10 @@ def make_cost_fns(cfg: CSPMConfig,
                 preps, max_costs_s, wgts, abc2, half_wnd=cfg.half_wnd,
                 max_dis=cfg.max_dis, gamma=cfg.wgt_gamma,)
 
-        return cost_fn, (_volume_sparse_fn(cfg, vd) if volume_mode
-                         else None)
+        # the quadrant ranking aggregates the FINE level; preps[0] is its
+        # scale-0 kernel layout
+        return cost_fn, (_volume_sparse_fn(cfg, vd, prep=preps[0])
+                         if volume_mode else None)
     if cfg.use_cs:
         if jax.default_backend() == "tpu":
             # The jnp upsampled cross-scale path crashes the XLA:TPU

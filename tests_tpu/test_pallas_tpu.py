@@ -420,3 +420,24 @@ def test_kernel_bf16_volume_close_to_f32_on_hardware():
             imgs, vols, mc, abc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=4e-3, atol=4e-3)
+
+
+def test_quadrant_build_kernel_exact_on_hardware():
+    """The fused quadrant-volume build (round 5) vs the jnp authority on
+    real hardware, at a production-like geometry."""
+    from crossscalepatchmatch_tpu.ops.pallas.quadrant_build import (
+        quadrant_volumes_pallas)
+    from crossscalepatchmatch_tpu.ops.prescreen_volume import (
+        build_quadrant_volumes)
+
+    h, w, d, wnd = 96, 130, 20, 35
+    imgs, vols, _, _ = _mk(h, w, d, 1)
+    bq, wq = quadrant_volumes_pallas(imgs, vols, half_wnd=wnd // 2,
+                                     gamma=10.0, stride=2)
+    want_b, want_w = jax.jit(jax.vmap(
+        lambda i, v: build_quadrant_volumes(
+            i, v, half_wnd=wnd // 2, gamma=10.0, stride=2)))(imgs, vols)
+    np.testing.assert_allclose(np.asarray(wq), np.asarray(want_w),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bq), np.asarray(want_b),
+                               rtol=2e-5, atol=2e-4)

@@ -6,6 +6,10 @@ with tent depth?), timing by host materialization (tunnel-safe).
 import os
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update(

@@ -1,5 +1,9 @@
 """Probe: per-element dynamic gather along lanes inside a Pallas TPU kernel."""
 import sys
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,6 +7,10 @@ exact eval at K=1/2/9) to attribute the 1.43 s/pair.
 import os
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update(

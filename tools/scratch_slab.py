@@ -2,6 +2,10 @@
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import os as _os
 jax.config.update(
