@@ -218,15 +218,17 @@ class CSPMConfig:
     eps: float = 1e-8           # kDoubleEps analogue (commfunc.h:25)
     use_pallas: bool = True     # use the fused Pallas window-cost kernel on TPU
     # Storage dtype of the KERNEL-LAYOUT cost volumes ("f32" | "bf16").
-    # bf16 halves the volume's HBM footprint and the kernel's dominant
-    # VMEM slab traffic; the tent contraction still accumulates in f32
-    # (bf16 * f32 promotes), so only the stored slice values round to an
-    # 8-bit mantissa -- census costs (integers 0-80) are EXACT in bf16,
-    # GRD costs round at ~0.4% relative.  Applies to the Pallas volume
+    # bf16 halves the volume's HBM footprint and the volume traffic of
+    # BOTH Pallas consumers (the window-cost kernel and the fused
+    # quadrant build); contractions still accumulate in f32 (bf16 * f32
+    # promotes), so only the stored slice values round to an 8-bit
+    # mantissa -- census costs (integers 0-80) are EXACT in bf16, GRD
+    # costs round at ~0.4% relative.  Applies to the Pallas volume
     # paths only (the jnp authority and the fly path stay f32).
-    # Round-5 A/B measurements and the parity matrix for each setting
-    # are in BASELINE.md.
-    vol_dtype: str = "f32"
+    # Default bf16 (round 5, measured): bench pipeline 1062 -> 1007
+    # ms/pair, KITTI 4913 -> 4866 ms, and the full 13-row parity matrix
+    # is row-for-row identical to f32 within +-0.0001 (BASELINE.md).
+    vol_dtype: str = "bf16"
     # (FOUR data-sparse / scheduling alternatives for the kernel's
     # disparity lerp were built across rounds 1-4, measured SLOWER on v5e
     # hardware than the plain dense tent contraction, and deleted: a
